@@ -1,0 +1,158 @@
+"""Device-mesh parallel rendering.
+
+The reference is single-process/single-GPU (SURVEY.md §2.3); its only
+"multi-lane" concurrency is three Vulkan queues. The TPU framework scales the
+renderer across chips the JAX way:
+
+- **Pixel/tile data parallelism**: the image rows are sharded over the mesh
+  axis; every chip traces its own pixel block against a *replicated* scene
+  (scene + BVH are read-only — the bindless-heap analog replicates cleanly).
+- **Sample parallelism**: in progressive mode each chip can instead render the
+  *whole* image with decorrelated sample seeds, psum-merging film buffers
+  (used when per-chip pixel blocks get too small to saturate the VPU).
+- Collectives ride ICI via `shard_map` + `jax.lax.psum`; nothing here talks
+  NCCL/MPI — XLA inserts the transfers.
+
+Tested on a virtual 8-device CPU mesh (tests/conftest.py) and dry-run by the
+driver via __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raytracer3_tpu.ops import rng
+from raytracer3_tpu.render import camera as camera_mod
+from raytracer3_tpu.render import film as film_mod
+from raytracer3_tpu.render import pathtracer
+from raytracer3_tpu.scene import types as scene_types
+from raytracer3_tpu.utils.config import RenderSettings
+
+
+def make_render_mesh(devices=None, axis: str = "tiles") -> Mesh:
+    """1D render mesh over all (or given) devices."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def render_tiled(
+    scene: scene_types.Scene,
+    cam: camera_mod.Camera,
+    settings: RenderSettings,
+    frame_index,
+    intersect_fn: pathtracer.IntersectFn,
+    occluded_fn=None,
+    mesh: Mesh | None = None,
+    axis: str = "tiles",
+) -> jax.Array:
+    """Render one frame with image rows sharded over the mesh axis.
+
+    Each shard generates its own primary rays from its global pixel coords
+    (passed in sharded, so lanes know their true pixel ids and the per-pixel
+    RNG matches the single-chip result bit-for-bit), traces independently
+    against the replicated scene, and writes its slice of the film. No
+    cross-chip traffic during tracing; the film gather happens only if the
+    caller reassembles on one host.
+    """
+    mesh = mesh or make_render_mesh(axis=axis)
+    w, h = settings.width, settings.height
+    n_dev = mesh.shape[axis]
+    assert h % n_dev == 0, f"height {h} must divide across {n_dev} devices"
+
+    pix = camera_mod.pixel_grid(w, h).reshape(h, w, 2)
+
+    def shard_fn(pix_rows):
+        hs = pix_rows.shape[0]
+        p = pix_rows.reshape(-1, 2)
+        sampler = rng.Sampler.from_pixels(p, frame_index)
+        uj, sampler = sampler.next2()
+        o, d = camera_mod.primary_rays(cam, w, h, jitter=uj, pixel_xy=p)
+        gbuf = pathtracer.trace_gbuffer(scene, intersect_fn, o, d)
+        radiance = pathtracer.trace_radiance(
+            scene, intersect_fn, o, d, gbuf, sampler, settings, occluded_fn
+        )
+        env = pathtracer._sample_env(scene, d)
+        radiance = jnp.where(gbuf.hit[:, None], radiance, env)
+        return radiance.reshape(hs, w, 3)
+
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return shard(pix)
+
+
+def render_sample_parallel(
+    scene: scene_types.Scene,
+    cam: camera_mod.Camera,
+    settings: RenderSettings,
+    frame_index,
+    intersect_fn: pathtracer.IntersectFn,
+    occluded_fn=None,
+    mesh: Mesh | None = None,
+    axis: str = "tiles",
+) -> jax.Array:
+    """Progressive sample parallelism: every chip renders the full image with
+    a decorrelated frame seed; psum over the mesh averages the estimates.
+    Effective samples/frame = n_devices × settings.samples."""
+    mesh = mesh or make_render_mesh(axis=axis)
+    n_dev = mesh.shape[axis]
+
+    def shard_fn(_token):
+        shard_id = jax.lax.axis_index(axis).astype(jnp.uint32)
+        fi = jnp.uint32(frame_index) * jnp.uint32(n_dev) + shard_id
+        img = pathtracer.render_image(
+            scene, cam, settings, fi, intersect_fn, occluded_fn
+        )
+        return jax.lax.psum(img, axis) / n_dev
+
+    token = jnp.zeros((n_dev, 1), jnp.float32)
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return shard(token)
+
+
+def progressive_step_tiled(
+    scene: scene_types.Scene,
+    cam: camera_mod.Camera,
+    settings: RenderSettings,
+    intersect_fn: pathtracer.IntersectFn,
+    occluded_fn=None,
+    mesh: Mesh | None = None,
+    axis: str = "tiles",
+) -> Callable:
+    """Build the full per-frame *step* (render + film blend) with the film
+    sharded row-wise and donated across frames — the multi-chip analog of the
+    reference's per-frame graph execution + PrevLight blend (SURVEY.md §3.2,
+    §3.5). Returns step(film, frame_index) -> film."""
+    mesh = mesh or make_render_mesh(axis=axis)
+    film_sharding = NamedSharding(mesh, P(axis))
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(film: film_mod.Film, frame_index) -> film_mod.Film:
+        radiance = render_tiled(
+            scene, cam, settings, frame_index, intersect_fn, occluded_fn,
+            mesh=mesh, axis=axis,
+        )
+        return film_mod.accumulate_progressive(film, radiance)
+
+    def init_film() -> film_mod.Film:
+        f = film_mod.Film.create(settings.height, settings.width)
+        accum = jax.device_put(f.accum, film_sharding)
+        return film_mod.Film(accum=accum, frame_index=f.frame_index)
+
+    return step, init_film

@@ -1,0 +1,270 @@
+"""Reference-mode path tracer: per-pixel samples × bounces progressive PT.
+
+TPU-native counterpart of ``shaders/old/refrence_mode.slang:14-66`` (the
+ground-truth progressive path tracer) plus the G-buffer primary pass
+(``shaders/old/gbuffer.slang:8-20``). Where the reference runs one divergent
+SIMT thread per pixel, here every bounce is one dense batched step over the
+whole ray wavefront ``[N]``; dead lanes are masked, not branched. Bounce and
+sample counts are static (unrolled by XLA), matching the reference's runtime
+GConst knobs (renderer/mod.rs:56-58) at trace time.
+
+The intersection backend is injected (``intersect_fn``) so the same tracer
+runs against brute-force (analytic scenes / oracle tests) or the BVH
+(ops/traverse.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from raytracer3_tpu.ops import brdf, intersect, mathx, rng
+from raytracer3_tpu.render import camera as camera_mod
+from raytracer3_tpu.scene import types as scene_types
+from raytracer3_tpu.utils.config import RenderSettings
+
+IntersectFn = Callable[[jax.Array, jax.Array], intersect.Hit]
+OccludedFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+class GBuffer(NamedTuple):
+    """Primary-visibility buffers — the packed-G-buffer analog
+    (old/gbuffer.slang:8-20). Kept unpacked as SoA arrays; packing to uint32
+    planes (ops/packing.py) is applied when a pass round-trips through HBM."""
+
+    depth: jax.Array  # [N] BACKGROUND_DEPTH on miss
+    surface: scene_types.SurfaceInfo  # [N, ...]
+    prim_id: jax.Array  # [N]
+    hit: jax.Array  # [N] bool
+
+
+def trace_gbuffer(
+    scene: scene_types.Scene,
+    intersect_fn: IntersectFn,
+    origins: jax.Array,
+    directions: jax.Array,
+) -> GBuffer:
+    """Primary rays → G-buffer (gbuffer.slang:8-20)."""
+    h = intersect_fn(origins, directions)
+    surface = scene_types.hit_surface_info(scene, h.prim_id, h.uv)
+    return GBuffer(depth=h.t, surface=surface, prim_id=h.prim_id, hit=h.hit)
+
+
+def _sample_env(scene: scene_types.Scene, directions: jax.Array) -> jax.Array:
+    """Equirect skybox lookup (postprocess.slang:104; math.slang:6-12)."""
+    if scene.env_map is None:
+        return jnp.zeros(directions.shape[:-1] + (3,), jnp.float32)
+    uv = mathx.direction_to_equirect_uv(directions)
+    he, we = scene.env_map.shape[0], scene.env_map.shape[1]
+    x = jnp.clip((uv[..., 0] * we).astype(jnp.int32), 0, we - 1)
+    y = jnp.clip((uv[..., 1] * he).astype(jnp.int32), 0, he - 1)
+    return scene.env_map[y, x]
+
+
+def _face_forward(normal: jax.Array, wo_world: jax.Array) -> jax.Array:
+    """Flip shading normals facing away from the viewer (two-sided shading,
+    matching the reference's no-cull RT pipelines)."""
+    s = jnp.where(mathx.dot(normal, wo_world) < 0.0, -1.0, 1.0)
+    return normal * s
+
+
+def trace_radiance(
+    scene: scene_types.Scene,
+    intersect_fn: IntersectFn,
+    origins: jax.Array,
+    directions: jax.Array,
+    gbuf: GBuffer,
+    sampler: rng.Sampler,
+    settings: RenderSettings,
+    occluded_fn: Optional[OccludedFn] = None,
+) -> jax.Array:
+    """Estimate radiance for the primary rays. Mirrors the sample/bounce loop
+    of refrence_mode.slang:28-59, restructured as masked wavefront steps.
+
+    With ``occluded_fn`` given and the scene having emissive triangles,
+    next-event estimation with MIS is enabled (the wavefront upgrade,
+    SURVEY.md §7 step 6); otherwise pure BRDF-sampling like the reference.
+    """
+    n = origins.shape[0]
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    use_nee = occluded_fn is not None and int(scene.emissive.tri_ids.shape[0]) > 0
+
+    for _ in range(settings.samples):
+        ray_o = origins
+        ray_d = directions
+        throughput = jnp.ones((n, 3), jnp.float32)
+        alive = gbuf.hit
+        surface = gbuf.surface
+        depth = gbuf.depth
+        prev_pdf = jnp.full((n,), 1e8, jnp.float32)  # delta (camera) pdf
+        sample_radiance = jnp.zeros((n, 3), jnp.float32)
+        # Environment for primary misses is composited by postprocess
+        # (postprocess.slang:100-105), not here — matching the reference.
+
+        for b in range(settings.bounces):
+            nrm = _face_forward(surface.normal, -ray_d)
+
+            # Emissive pickup. Under NEE the BRDF-sampled emissive hit is
+            # MIS-weighted against the light pdf (power heuristic reduces to
+            # balance for one sample each).
+            emit_w = jnp.ones((n,), jnp.float32)
+            if use_nee and b > 0:
+                # pdf of having sampled this point via NEE: area-measure →
+                # solid angle: (1/total_area) * r^2 / cos_light.
+                cos_l = jnp.abs(mathx.dot(nrm, -ray_d, keepdims=False))
+                r2 = depth * depth
+                pdf_light = r2 / jnp.maximum(
+                    cos_l * scene.emissive.total_area, 1e-20
+                )
+                is_emitter = jnp.max(surface.emissive, axis=-1) > 0.0
+                w = prev_pdf / jnp.maximum(prev_pdf + pdf_light, 1e-20)
+                emit_w = jnp.where(is_emitter, w, 1.0)
+            sample_radiance = sample_radiance + jnp.where(
+                alive[:, None], throughput * surface.emissive * emit_w[:, None], 0.0
+            )
+
+            onb = mathx.build_orthonormal_basis(nrm)
+            hit_pos = ray_o + depth[:, None] * ray_d
+
+            # --- Next-event estimation -----------------------------------
+            if use_nee:
+                u_l, sampler = sampler.next3()
+                li, sampler = _nee_contribution(
+                    scene, occluded_fn, hit_pos, nrm, -ray_d, surface, u_l,
+                    sampler, settings,
+                )
+                sample_radiance = sample_radiance + jnp.where(
+                    alive[:, None], throughput * li, 0.0
+                )
+
+            # --- BRDF sampling (refrence_mode.slang:41-47) -----------------
+            if settings.diffuse_only:
+                u2, sampler = sampler.next2()
+                s = brdf.diffuse_sample(surface.albedo, u2)
+            else:
+                u3, sampler = sampler.next3()
+                s = brdf.surface_sample(
+                    surface.albedo, surface.roughness, surface.metalness,
+                    mathx.to_local(onb, -ray_d), u3,
+                )
+
+            ray_o = hit_pos
+            ray_d = mathx.to_world(onb, s.wi)
+            throughput = throughput * s.value_over_pdf
+            prev_pdf = jnp.maximum(s.pdf * jnp.abs(s.wi[..., 2]), 1e-8)
+            alive = alive & s.valid & (jnp.max(throughput, -1) > 0.0)
+
+            if b != settings.bounces - 1:
+                h = intersect_fn(ray_o, ray_d)
+                # Secondary miss → environment light then terminate.
+                env = _sample_env(scene, ray_d)
+                sample_radiance = sample_radiance + jnp.where(
+                    (alive & ~h.hit)[:, None], throughput * env, 0.0
+                )
+                alive = alive & h.hit
+                depth = h.t
+                surface = scene_types.hit_surface_info(scene, h.prim_id, h.uv)
+
+        if settings.radiance_clamp > 0.0:
+            sample_radiance = jnp.minimum(sample_radiance, settings.radiance_clamp)
+        radiance = radiance + sample_radiance
+
+    return radiance / float(settings.samples)
+
+
+def _nee_contribution(
+    scene: scene_types.Scene,
+    occluded_fn: OccludedFn,
+    hit_pos: jax.Array,
+    normal: jax.Array,
+    wo_world: jax.Array,
+    surface: scene_types.SurfaceInfo,
+    u3: jax.Array,
+    sampler: rng.Sampler,
+    settings: RenderSettings,
+):
+    """Sample one point on the emissive set (area-proportional), test
+    visibility, MIS-weight against BRDF sampling."""
+    em = scene.emissive
+    # Pick a light triangle by area CDF.
+    li = jnp.searchsorted(em.cdf, u3[:, 0:1]).reshape(-1)
+    li = jnp.clip(li, 0, em.tri_ids.shape[0] - 1)
+    tri = em.tri_ids[li]
+    valid_light = tri >= 0
+    tid = jnp.clip(tri, 0, scene.num_triangles - 1)
+    idx = scene.indices[tid]
+    v0 = scene.positions[idx[:, 0]]
+    v1 = scene.positions[idx[:, 1]]
+    v2 = scene.positions[idx[:, 2]]
+    # Uniform point on triangle.
+    su = jnp.sqrt(jnp.maximum(u3[:, 1:2], 0.0))
+    b0 = 1.0 - su
+    b1 = u3[:, 2:3] * su
+    p = v0 * b0 + v1 * b1 + v2 * (1.0 - b0 - b1)
+
+    to_l = p - hit_pos
+    dist2 = mathx.dot(to_l, to_l)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    wi_world = to_l / dist
+    l_nrm = mathx.normalize(jnp.cross(v1 - v0, v2 - v0))
+    cos_l = jnp.abs(mathx.dot(l_nrm, -wi_world, keepdims=False))
+    cos_s = mathx.dot(normal, wi_world, keepdims=False)
+
+    # pdf in solid-angle measure; area pick pdf = 1/total_area.
+    pdf_light = dist2[:, 0] / jnp.maximum(cos_l * em.total_area, 1e-20)
+
+    onb = mathx.build_orthonormal_basis(normal)
+    wo_l = mathx.to_local(onb, wo_world)
+    wi_l = mathx.to_local(onb, wi_world)
+    if settings.diffuse_only:
+        ev = brdf.diffuse_evaluate(surface.albedo, wi_l)
+    else:
+        ev = brdf.surface_evaluate(
+            surface.albedo, surface.roughness, surface.metalness, wo_l, wi_l
+        )
+    # ev.pdf is projected-solid-angle; convert to solid angle for MIS.
+    pdf_brdf = ev.pdf * jnp.maximum(wi_l[..., 2], 0.0)
+    mis_w = pdf_light / jnp.maximum(pdf_light + pdf_brdf, 1e-20)
+
+    g = scene.geo_id[tid]
+    le = scene.materials.emission[g] * scene_types.EMISSION_SCALE
+
+    shadow_o = hit_pos + normal * 1e-3
+    blocked = occluded_fn(shadow_o, wi_world, dist[:, 0] * (1.0 - 1e-3))
+
+    contrib = (
+        ev.value
+        * le
+        * (cos_s * mis_w / jnp.maximum(pdf_light, 1e-20))[:, None]
+    )
+    ok = valid_light & ~blocked & (cos_s > 0.0) & (cos_l > 1e-6) & (pdf_light > 0.0)
+    return jnp.where(ok[:, None], contrib, 0.0), sampler
+
+
+def render_image(
+    scene: scene_types.Scene,
+    cam: camera_mod.Camera,
+    settings: RenderSettings,
+    frame_index,
+    intersect_fn: IntersectFn,
+    occluded_fn: Optional[OccludedFn] = None,
+) -> jax.Array:
+    """One full frame of raw radiance [H, W, 3] (before postprocess):
+    primary rays → G-buffer → bounce loop — the frame the reference's render
+    graph assembles from gbuffer + refrence_mode passes (SURVEY.md §3.5)."""
+    w, h = settings.width, settings.height
+    pix = camera_mod.pixel_grid(w, h)
+    sampler = rng.Sampler.from_pixels(pix, frame_index)
+    uj, sampler = sampler.next2()
+    o, d = camera_mod.primary_rays(cam, w, h, jitter=uj, pixel_xy=pix)
+    gbuf = trace_gbuffer(scene, intersect_fn, o, d)
+    radiance = trace_radiance(
+        scene, intersect_fn, o, d, gbuf, sampler, settings, occluded_fn
+    )
+    # Primary miss → environment (composited here into raw radiance; AgX is
+    # applied by render/postprocess.py like postprocess.slang:90-112).
+    env = _sample_env(scene, d)
+    radiance = jnp.where(gbuf.hit[:, None], radiance, env)
+    return radiance.reshape(h, w, 3)

@@ -1,0 +1,265 @@
+"""Scene data model: SoA geometry + material arrays addressed by integer ids.
+
+This is the TPU-native analog of the reference's *bindless* resource model
+(src/renderer/bindless/mod.rs + shaders/include/bindless.slang): where the
+reference puts every buffer/texture into global descriptor tables and lets
+shaders index them with 32-bit handles, here the whole scene is one pytree of
+dense device arrays and "handles" are plain integer indices into them —
+``geo_id`` plays the role of the bindless GeometryInfo handle
+(datatypes.slang:11-19), gathers play the role of descriptor loads.
+
+Also implements the ``hit_info`` shading fetch (shaders/include/
+hit_logic.slang:5-39): barycentric interpolation of normals/uvs/vertex colors
+plus material/texture lookup, as one batched gather.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer3_tpu.ops import mathx
+
+# hit_logic.slang:35 multiplies material emission by 12.0.
+EMISSION_SCALE = 12.0
+
+
+class Materials(NamedTuple):
+    """SoA material table — the GeometryInfo analog (datatypes.slang:11-19).
+    The reference stores these f16-quantized in the asset cache
+    (assets/mod.rs:45-59); on device f32 is free (VPU) so we widen."""
+
+    base_color: jax.Array  # [G, 4] rgba factor
+    emission: jax.Array  # [G, 3] raw emission factor (scaled at hit time)
+    metallic: jax.Array  # [G]
+    roughness: jax.Array  # [G]
+    base_color_texture: jax.Array  # [G] int32 index into texture array, -1 = none
+
+
+class EmissiveTable(NamedTuple):
+    """Precomputed emissive-triangle list for next-event estimation.
+
+    The reference samples lights only implicitly (BRDF sampling hits emissive
+    geometry, old/refrence_mode.slang:52); NEE/MIS is the wavefront tracer's
+    upgrade (SURVEY.md §7 step 6)."""
+
+    tri_ids: jax.Array  # [L] int32 triangle indices (padded with -1)
+    areas: jax.Array  # [L] world-space area
+    cdf: jax.Array  # [L] normalized cumulative area (for proportional pick)
+    total_area: jax.Array  # [] sum of areas
+    count: jax.Array  # [] int32 number of valid entries
+
+
+class Scene(NamedTuple):
+    """Complete device scene. All arrays static-shaped; grow via scene/pools."""
+
+    positions: jax.Array  # [V, 3]
+    normals: jax.Array  # [V, 3]
+    uvs: jax.Array  # [V, 2]
+    indices: jax.Array  # [T, 3] int32
+    geo_id: jax.Array  # [T] int32 material/geometry id per triangle
+    materials: Materials
+    # Single fixed-size texture array (the bindless texture table analog);
+    # textures resampled to a common resolution at ingest. [K, TH, TW, 3].
+    textures: Optional[jax.Array]
+    env_map: Optional[jax.Array]  # [He, We, 3] equirect HDR (postprocess.slang:104)
+    emissive: EmissiveTable
+
+    @property
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+    def tri_vertices(self):
+        """Gather per-triangle vertex positions → (v0, v1, v2) each [T, 3]."""
+        i = self.indices
+        return (
+            self.positions[i[:, 0]],
+            self.positions[i[:, 1]],
+            self.positions[i[:, 2]],
+        )
+
+
+class SurfaceInfo(NamedTuple):
+    """Shaded-hit surface attributes — the GbufferData analog
+    (gbuffer_helpers.slang:5-12)."""
+
+    albedo: jax.Array  # [N, 3]
+    emissive: jax.Array  # [N, 3]
+    normal: jax.Array  # [N, 3]
+    roughness: jax.Array  # [N]
+    metalness: jax.Array  # [N]
+
+
+def _sample_texture_bilinear(tex: jax.Array, uv: jax.Array) -> jax.Array:
+    """Bilinear wrap sample of one texture [TH, TW, 3] at uv [N, 2]."""
+    th, tw = tex.shape[0], tex.shape[1]
+    x = uv[:, 0] * tw - 0.5
+    y = uv[:, 1] * th - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), tw)
+    y0i = jnp.mod(y0.astype(jnp.int32), th)
+    x1i = jnp.mod(x0i + 1, tw)
+    y1i = jnp.mod(y0i + 1, th)
+    c00 = tex[y0i, x0i]
+    c10 = tex[y0i, x1i]
+    c01 = tex[y1i, x0i]
+    c11 = tex[y1i, x1i]
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c10 * fx * (1 - fy)
+        + c01 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+
+
+def sample_texture_array(textures: jax.Array, tex_id: jax.Array, uv: jax.Array) -> jax.Array:
+    """Sample texture `tex_id` per lane from the texture array [K, TH, TW, 3].
+
+    tex_id < 0 → white (no texture), mirroring hit_logic.slang:30-32."""
+    safe_id = jnp.maximum(tex_id, 0)
+    th, tw = textures.shape[1], textures.shape[2]
+    x = uv[:, 0] * tw - 0.5
+    y = uv[:, 1] * th - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), tw)
+    y0i = jnp.mod(y0.astype(jnp.int32), th)
+    x1i = jnp.mod(x0i + 1, tw)
+    y1i = jnp.mod(y0i + 1, th)
+    c00 = textures[safe_id, y0i, x0i]
+    c10 = textures[safe_id, y0i, x1i]
+    c01 = textures[safe_id, y1i, x0i]
+    c11 = textures[safe_id, y1i, x1i]
+    c = (
+        c00 * (1 - fx) * (1 - fy)
+        + c10 * fx * (1 - fy)
+        + c01 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+    return jnp.where(tex_id[:, None] < 0, 1.0, c)
+
+
+def hit_surface_info(scene: Scene, prim_id: jax.Array, uv: jax.Array) -> SurfaceInfo:
+    """Batched ``hit_info`` (hit_logic.slang:5-39): fetch triangle, interpolate
+    attributes with barycentrics, apply material + base-color texture.
+
+    prim_id: [N] triangle ids (clamped gather; callers mask misses).
+    uv: [N, 2] barycentric (u, v).
+    """
+    pid = jnp.clip(prim_id, 0, scene.num_triangles - 1)
+    tri = scene.indices[pid]  # [N, 3]
+    w = jnp.stack([1.0 - uv[:, 0] - uv[:, 1], uv[:, 0], uv[:, 1]], axis=-1)  # [N, 3]
+
+    n0, n1, n2 = (scene.normals[tri[:, k]] for k in range(3))
+    normal = mathx.normalize(
+        n0 * w[:, 0:1] + n1 * w[:, 1:2] + n2 * w[:, 2:3]
+    )
+    t0, t1, t2 = (scene.uvs[tri[:, k]] for k in range(3))
+    tex_uv = t0 * w[:, 0:1] + t1 * w[:, 1:2] + t2 * w[:, 2:3]
+
+    g = scene.geo_id[pid]
+    mat = scene.materials
+    color = mat.base_color[g, :3]
+    if scene.textures is not None:
+        tex_id = mat.base_color_texture[g]
+        color = color * sample_texture_array(scene.textures, tex_id, tex_uv)
+
+    return SurfaceInfo(
+        albedo=color,
+        emissive=mat.emission[g] * EMISSION_SCALE,
+        normal=normal,
+        roughness=mat.roughness[g],
+        metalness=mat.metallic[g],
+    )
+
+
+def geometric_normals(scene: Scene, prim_id: jax.Array) -> jax.Array:
+    """Face normals for offset/backface logic, [N, 3]."""
+    pid = jnp.clip(prim_id, 0, scene.num_triangles - 1)
+    tri = scene.indices[pid]
+    v0 = scene.positions[tri[:, 0]]
+    v1 = scene.positions[tri[:, 1]]
+    v2 = scene.positions[tri[:, 2]]
+    return mathx.normalize(jnp.cross(v1 - v0, v2 - v0))
+
+
+# ---------------------------------------------------------------------------
+# Host-side scene construction helpers
+# ---------------------------------------------------------------------------
+
+
+def build_emissive_table(
+    positions: np.ndarray,
+    indices: np.ndarray,
+    geo_id: np.ndarray,
+    emission: np.ndarray,
+    pad_to: int | None = None,
+) -> EmissiveTable:
+    """Precompute the NEE light list (host side, at scene build)."""
+    em_per_tri = emission[geo_id]  # [T, 3]
+    is_emissive = em_per_tri.max(axis=-1) > 0.0
+    ids = np.nonzero(is_emissive)[0].astype(np.int32)
+    v0 = positions[indices[ids, 0]]
+    v1 = positions[indices[ids, 1]]
+    v2 = positions[indices[ids, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    total = float(areas.sum()) if len(ids) else 0.0
+    n = len(ids)
+    size = pad_to or max(1, n)
+    pad = size - n
+    ids_p = np.pad(ids, (0, pad), constant_values=-1)
+    areas_p = np.pad(areas, (0, pad))
+    cdf = np.cumsum(areas_p)
+    cdf = cdf / max(cdf[-1], 1e-30)
+    return EmissiveTable(
+        tri_ids=jnp.asarray(ids_p, jnp.int32),
+        areas=jnp.asarray(areas_p, jnp.float32),
+        cdf=jnp.asarray(cdf, jnp.float32),
+        total_area=jnp.asarray(total, jnp.float32),
+        count=jnp.asarray(n, jnp.int32),
+    )
+
+
+def make_scene(
+    positions: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray,
+    indices: np.ndarray,
+    geo_id: np.ndarray,
+    base_color: np.ndarray,
+    emission: np.ndarray,
+    metallic: np.ndarray,
+    roughness: np.ndarray,
+    base_color_texture: np.ndarray | None = None,
+    textures: np.ndarray | None = None,
+    env_map: np.ndarray | None = None,
+) -> Scene:
+    """Assemble a device Scene from host numpy arrays."""
+    g = len(base_color)
+    if base_color_texture is None:
+        base_color_texture = np.full(g, -1, np.int32)
+    return Scene(
+        positions=jnp.asarray(positions, jnp.float32),
+        normals=jnp.asarray(normals, jnp.float32),
+        uvs=jnp.asarray(uvs, jnp.float32),
+        indices=jnp.asarray(indices, jnp.int32),
+        geo_id=jnp.asarray(geo_id, jnp.int32),
+        materials=Materials(
+            base_color=jnp.asarray(base_color, jnp.float32),
+            emission=jnp.asarray(emission, jnp.float32),
+            metallic=jnp.asarray(metallic, jnp.float32),
+            roughness=jnp.asarray(roughness, jnp.float32),
+            base_color_texture=jnp.asarray(base_color_texture, jnp.int32),
+        ),
+        textures=None if textures is None else jnp.asarray(textures, jnp.float32),
+        env_map=None if env_map is None else jnp.asarray(env_map, jnp.float32),
+        emissive=build_emissive_table(positions, indices, geo_id, emission),
+    )

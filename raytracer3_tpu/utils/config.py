@@ -1,0 +1,46 @@
+"""Render settings — the GConst analog.
+
+The reference streams a ``GConst`` uniform struct to every pass each frame
+(src/renderer/mod.rs:47-63; shaders/include/datatypes.slang:28-43). Here the
+same knobs live in a frozen dataclass whose fields are *static* under jit
+(bounces/samples change → recompile, which XLA needs anyway for loop
+unrolling), while per-frame dynamic values (frame_index, blendfactor, camera)
+are traced arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static per-pipeline knobs (GConst: renderer/mod.rs:47-63)."""
+
+    width: int = 1920
+    height: int = 1088
+    bounces: int = 4
+    samples: int = 1
+    # Probe GI layout (old/trace_probes.slang:18-25): 1 probe / probe_spacing
+    # px, probe_res × probe_res octahedral directions per probe.
+    probe_spacing: int = 16
+    probe_res: int = 8
+    # interpolate_probes.slang cell_size knob
+    cell_size: float = 0.01
+    proberng: bool = False
+    # Reference "refrence_mode" uses pure-diffuse shading
+    # (old/refrence_mode.slang:41); full mode uses metallic-roughness GGX.
+    diffuse_only: bool = False
+    # Firefly clamp for bounce radiance (0 = off).
+    radiance_clamp: float = 0.0
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def probe_grid(self) -> tuple[int, int]:
+        return (
+            self.width // self.probe_spacing,
+            self.height // self.probe_spacing,
+        )
