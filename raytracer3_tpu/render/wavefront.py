@@ -1,0 +1,232 @@
+"""Wavefront path tracer: the production renderer.
+
+The TPU-native re-design of the reference's per-pixel megakernel
+(``shaders/old/refrence_mode.slang``) prescribed by SURVEY.md §5
+('long-context' analog) and BASELINE.json: rays live in flat ``[N]`` SoA
+queues decoupled from pixels (``pixel_id`` indirection), the bounce loop is a
+``lax.scan`` over masked wavefront steps, and between bounces the wavefront is
+optionally **re-sorted for coherence** (alive-first compaction + direction-
+octant / hit-locality keys — the ray-reordering technique from the
+PAPERS.md literature) so BVH node gathers hit HBM coherently. Dead lanes are
+masked, never branched; shapes stay static for XLA.
+
+Extras over the reference's tracer: next-event estimation with MIS (balance
+heuristic), environment-map contribution for secondary misses, Russian
+roulette after a static prefix, firefly clamping.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from raytracer3_tpu.ops import brdf, intersect, mathx, rng
+from raytracer3_tpu.render import camera as camera_mod
+from raytracer3_tpu.render import pathtracer
+from raytracer3_tpu.scene import types as scene_types
+from raytracer3_tpu.utils.config import RenderSettings
+
+
+class RayQueue(NamedTuple):
+    """Flat wavefront state, SoA [N]."""
+
+    origin: jax.Array  # [N, 3]
+    direction: jax.Array  # [N, 3]
+    throughput: jax.Array  # [N, 3]
+    radiance: jax.Array  # [N, 3] accumulated
+    pixel_id: jax.Array  # [N] int32 (indirection to the film)
+    alive: jax.Array  # [N] bool
+    prev_pdf: jax.Array  # [N] solid-angle pdf of the last BRDF sample (MIS)
+    depth: jax.Array  # [N] t of the current hit
+    prim_id: jax.Array  # [N]
+    uv: jax.Array  # [N, 2]
+
+
+def _sort_key(q: RayQueue) -> jax.Array:
+    """Coherence sort key: alive rays first, then by direction octant, then by
+    hit primitive (so rays shading the same geometry neighbor each other)."""
+    d = q.direction
+    octant = (
+        (d[:, 0] >= 0).astype(jnp.int32)
+        + 2 * (d[:, 1] >= 0).astype(jnp.int32)
+        + 4 * (d[:, 2] >= 0).astype(jnp.int32)
+    )
+    prim = jnp.clip(q.prim_id, 0, (1 << 20) - 1)
+    dead_penalty = jnp.where(q.alive, 0, 1 << 30)
+    return dead_penalty + (octant << 20) + prim
+
+
+def _permute(q: RayQueue, perm: jax.Array) -> RayQueue:
+    return jax.tree.map(lambda a: a[perm], q)
+
+
+def trace_wavefront(
+    scene: scene_types.Scene,
+    intersect_fn: pathtracer.IntersectFn,
+    q: RayQueue,
+    sampler: rng.Sampler,
+    settings: RenderSettings,
+    occluded_fn: Optional[pathtracer.OccludedFn] = None,
+    sort_rays: bool = False,
+    rr_start: int = 3,
+) -> RayQueue:
+    """Run the bounce loop on an initialized wavefront whose first hit is
+    already recorded in (depth, prim_id, uv, alive). Returns the final queue
+    with radiance accumulated (pixel order = q.pixel_id)."""
+    use_nee = occluded_fn is not None and int(scene.emissive.tri_ids.shape[0]) > 0
+
+    def bounce(carry, b):
+        q, sampler = carry
+
+        if sort_rays:
+            perm = jnp.argsort(_sort_key(q))
+            q = _permute(q, perm)
+            # Per-lane RNG streams travel with their rays.
+            sampler = rng.Sampler(seed=sampler.seed[perm], index=sampler.index)
+
+        surface = scene_types.hit_surface_info(scene, q.prim_id, q.uv)
+        nrm = pathtracer._face_forward(surface.normal, -q.direction)
+
+        # Emissive pickup with MIS against NEE (first bounce unweighted —
+        # primary hits of lights must be full-strength).
+        emit_w = jnp.ones(q.alive.shape, jnp.float32)
+        if use_nee:
+            cos_l = jnp.abs(mathx.dot(nrm, -q.direction, keepdims=False))
+            pdf_light = (q.depth * q.depth) / jnp.maximum(
+                cos_l * scene.emissive.total_area, 1e-20
+            )
+            is_emitter = jnp.max(surface.emissive, axis=-1) > 0.0
+            w = q.prev_pdf / jnp.maximum(q.prev_pdf + pdf_light, 1e-20)
+            emit_w = jnp.where(is_emitter & (b > 0), w, 1.0)
+        radiance = q.radiance + jnp.where(
+            q.alive[:, None], q.throughput * surface.emissive * emit_w[:, None], 0.0
+        )
+
+        onb = mathx.build_orthonormal_basis(nrm)
+        hit_pos = q.origin + q.depth[:, None] * q.direction
+
+        if use_nee:
+            u_l, sampler = sampler.next3()
+            li, sampler = pathtracer._nee_contribution(
+                scene, occluded_fn, hit_pos, nrm, -q.direction, surface, u_l,
+                sampler, settings,
+            )
+            radiance = radiance + jnp.where(q.alive[:, None], q.throughput * li, 0.0)
+
+        # BRDF sample.
+        if settings.diffuse_only:
+            u2, sampler = sampler.next2()
+            s = brdf.diffuse_sample(surface.albedo, u2)
+        else:
+            u3, sampler = sampler.next3()
+            s = brdf.surface_sample(
+                surface.albedo, surface.roughness, surface.metalness,
+                mathx.to_local(onb, -q.direction), u3,
+            )
+
+        new_dir = mathx.to_world(onb, s.wi)
+        throughput = q.throughput * s.value_over_pdf
+        prev_pdf = jnp.maximum(s.pdf * jnp.abs(s.wi[..., 2]), 1e-8)
+        alive = q.alive & s.valid & (jnp.max(throughput, -1) > 0.0)
+
+        # Russian roulette (static start; probability = max throughput).
+        u_rr, sampler = sampler.next1()
+        p_cont = jnp.clip(jnp.max(throughput, -1), 0.05, 1.0)
+        do_rr = b >= rr_start
+        survive = jnp.where(do_rr, u_rr < p_cont, True)
+        throughput = jnp.where(
+            (do_rr & survive)[:, None],
+            throughput / jnp.maximum(p_cont, 1e-6)[:, None],
+            throughput,
+        )
+        alive = alive & survive
+
+        # Next hit.
+        h = intersect_fn(hit_pos, new_dir)
+        env = pathtracer._sample_env(scene, new_dir)
+        radiance = radiance + jnp.where(
+            (alive & ~h.hit)[:, None], throughput * env, 0.0
+        )
+        alive = alive & h.hit
+
+        q = RayQueue(
+            origin=hit_pos,
+            direction=new_dir,
+            throughput=throughput,
+            radiance=radiance,
+            pixel_id=q.pixel_id,
+            alive=alive,
+            prev_pdf=prev_pdf,
+            depth=h.t,
+            prim_id=h.prim_id,
+            uv=h.uv,
+        )
+        return (q, sampler), None
+
+    (q, _), _ = jax.lax.scan(
+        bounce, (q, sampler), jnp.arange(settings.bounces), unroll=1
+    )
+    return q
+
+
+def render_frame(
+    scene: scene_types.Scene,
+    cam: camera_mod.Camera,
+    settings: RenderSettings,
+    frame_index,
+    intersect_fn: pathtracer.IntersectFn,
+    occluded_fn: Optional[pathtracer.OccludedFn] = None,
+    sort_rays: bool = False,
+    blue_noise: Optional[jax.Array] = None,
+) -> jax.Array:
+    """One frame: primary rays → wavefront bounce loop → scatter to film
+    [H, W, 3] raw radiance. Samples loop on the outside (decorrelated)."""
+    w, h = settings.width, settings.height
+    n = w * h
+    pix = camera_mod.pixel_grid(w, h)
+
+    total = jnp.zeros((n, 3), jnp.float32)
+    for s_i in range(settings.samples):
+        fi = jnp.uint32(frame_index) * jnp.uint32(settings.samples) + jnp.uint32(s_i)
+        sampler = rng.Sampler.from_pixels(pix, fi)
+        if blue_noise is None:
+            uj, sampler = sampler.next2()
+        else:
+            # Blue-noise subpixel jitter (the resources/bluenoise.png role):
+            # tile the texture, Cranley-Patterson rotate per frame.
+            bw = blue_noise.shape[0]
+            bx = jnp.mod(pix[:, 0], bw)
+            by = jnp.mod(pix[:, 1], bw)
+            b0 = rng.animate_blue_noise(blue_noise[by, bx], fi)
+            b1 = rng.animate_blue_noise(blue_noise[bx, by], fi + jnp.uint32(7919))
+            uj = jnp.stack([b0, b1], axis=-1)
+        o, d = camera_mod.primary_rays(cam, w, h, jitter=uj, pixel_xy=pix)
+        hit0 = intersect_fn(o, d)
+
+        q = RayQueue(
+            origin=o,
+            direction=d,
+            throughput=jnp.ones((n, 3), jnp.float32),
+            radiance=jnp.zeros((n, 3), jnp.float32),
+            pixel_id=jnp.arange(n, dtype=jnp.int32),
+            alive=hit0.hit,
+            prev_pdf=jnp.full((n,), 1e8, jnp.float32),
+            depth=hit0.t,
+            prim_id=hit0.prim_id,
+            uv=hit0.uv,
+        )
+        q = trace_wavefront(
+            scene, intersect_fn, q, sampler, settings, occluded_fn, sort_rays
+        )
+        radiance = q.radiance
+        if settings.radiance_clamp > 0.0:
+            radiance = jnp.minimum(radiance, settings.radiance_clamp)
+        # Primary misses → environment.
+        env = pathtracer._sample_env(scene, d)
+        radiance = jnp.where(hit0.hit[:, None], radiance, env)
+        # Scatter back to pixel order (identity unless sorted).
+        total = total.at[q.pixel_id].add(radiance)
+
+    return (total / float(settings.samples)).reshape(h, w, 3)

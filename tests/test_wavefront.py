@@ -1,0 +1,118 @@
+"""Wavefront path tracer tests: agreement with the reference-mode tracer,
+sorting invariance, Russian-roulette unbiasedness, BVH backend integration
+(BASELINE.json config 4 building blocks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer3_tpu.ops import intersect, traverse
+from raytracer3_tpu.render import pathtracer, wavefront
+from raytracer3_tpu.scene import analytic
+from raytracer3_tpu.utils.config import RenderSettings
+
+RES = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = analytic.cornell_box()
+    cam = analytic.default_camera()
+    v0, v1, v2 = scene.tri_vertices()
+
+    def isect(o, d):
+        return intersect.intersect_bruteforce(o, d, v0, v1, v2)
+
+    def occl(o, d, tmax):
+        return intersect.occluded_bruteforce(o, d, v0, v1, v2, t_max=tmax)
+
+    return scene, cam, isect, occl
+
+
+def render_mean(fn, n_frames):
+    return np.mean([np.asarray(fn(jnp.uint32(i))) for i in range(n_frames)], axis=0)
+
+
+class TestWavefront:
+    def test_matches_megakernel_estimator(self, setup):
+        # Same scene/settings, no RR: wavefront and reference-mode converge to
+        # the same mean.
+        scene, cam, isect, occl = setup
+        s = RenderSettings(width=RES, height=RES, bounces=3, samples=2, diffuse_only=True)
+        f_wave = jax.jit(
+            lambda fi: wavefront.render_frame(
+                scene, cam, s, fi, isect, occl, sort_rays=False
+            )
+        )
+        f_mega = jax.jit(
+            lambda fi: pathtracer.render_image(scene, cam, s, fi, isect, occl)
+        )
+        a = render_mean(f_wave, 20)
+        b = render_mean(f_mega, 20)
+        mask = (a.max(-1) < 3) & (b.max(-1) < 3)
+        assert mask.sum() > 100
+        assert abs(a[mask].mean() - b[mask].mean()) / b[mask].mean() < 0.12
+
+    def test_sort_rays_preserves_image(self, setup):
+        # Sorting permutes lanes + their RNG streams together, so the result
+        # is bit-identical to unsorted.
+        scene, cam, isect, occl = setup
+        s = RenderSettings(width=RES, height=RES, bounces=3, samples=1, diffuse_only=True)
+        a = np.asarray(
+            wavefront.render_frame(scene, cam, s, 5, isect, occl, sort_rays=False)
+        )
+        b = np.asarray(
+            wavefront.render_frame(scene, cam, s, 5, isect, occl, sort_rays=True)
+        )
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_russian_roulette_unbiased(self, setup):
+        # 5-bounce render with RR active from bounce 3 must agree in
+        # expectation with the RR-free reference-mode tracer.
+        scene, cam, isect, occl = setup
+        s = RenderSettings(width=RES, height=RES, bounces=5, samples=2, diffuse_only=True)
+        f_rr = jax.jit(
+            lambda fi: wavefront.render_frame(scene, cam, s, fi, isect, occl)
+        )
+        f_ref = jax.jit(
+            lambda fi: pathtracer.render_image(scene, cam, s, fi, isect, occl)
+        )
+        a = render_mean(f_rr, 30)
+        c = render_mean(f_ref, 30)
+        mask = (a.max(-1) < 3) & (c.max(-1) < 3)
+        assert mask.sum() > 100
+        assert abs(a[mask].mean() - c[mask].mean()) / c[mask].mean() < 0.12
+
+    def test_bvh_backend_end_to_end(self, setup):
+        scene, cam, _, _ = setup
+        isect, occl, bvh = traverse.make_bvh_backend(scene)
+        s = RenderSettings(width=RES, height=RES, bounces=2, samples=1, diffuse_only=True)
+        img = np.asarray(
+            jax.jit(
+                lambda fi: wavefront.render_frame(scene, cam, s, fi, isect, occl)
+            )(jnp.uint32(0))
+        )
+        assert np.isfinite(img).all() and img.max() > 0
+
+    def test_full_brdf_mode(self, setup):
+        # Metallic-roughness surface shading path (non-diffuse).
+        scene, cam, isect, occl = setup
+        s = RenderSettings(width=RES, height=RES, bounces=3, samples=1, diffuse_only=False)
+        img = np.asarray(
+            jax.jit(
+                lambda fi: wavefront.render_frame(scene, cam, s, fi, isect, occl)
+            )(jnp.uint32(0))
+        )
+        assert np.isfinite(img).all() and img.max() > 0
+
+    def test_blue_noise_jitter(self, setup):
+        scene, cam, isect, occl = setup
+        from raytracer3_tpu.scene import assets
+
+        bn = jnp.asarray(assets.blue_noise_cached(size=16))
+        s = RenderSettings(width=RES, height=RES, bounces=2, samples=1, diffuse_only=True)
+        img = np.asarray(
+            wavefront.render_frame(scene, cam, s, 0, isect, occl, blue_noise=bn)
+        )
+        assert np.isfinite(img).all() and img.max() > 0
