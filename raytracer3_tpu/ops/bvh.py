@@ -70,12 +70,18 @@ def _make_delta(codes_sorted: jax.Array):
 
 def build_lbvh(v0: jax.Array, v1: jax.Array, v2: jax.Array) -> BVH:
     """Build an LBVH over triangles given as three [T, 3] vertex arrays."""
-    t = v0.shape[0]
-    assert t >= 2, "LBVH needs at least 2 triangles"
-
-    # --- Morton codes over normalized centroids ---------------------------
     tri_min = jnp.minimum(jnp.minimum(v0, v1), v2)
     tri_max = jnp.maximum(jnp.maximum(v0, v1), v2)
+    return build_lbvh_aabbs(tri_min, tri_max)
+
+
+def build_lbvh_aabbs(tri_min: jax.Array, tri_max: jax.Array) -> BVH:
+    """Build an LBVH over arbitrary primitives given by their AABBs
+    ([P, 3] min / max). ``leaf_tri`` then holds primitive indices."""
+    t = tri_min.shape[0]
+    assert t >= 2, "LBVH needs at least 2 primitives"
+
+    # --- Morton codes over normalized centroids ---------------------------
     centroid = (tri_min + tri_max) * 0.5
     scene_min = jnp.min(tri_min, axis=0)
     scene_max = jnp.max(tri_max, axis=0)

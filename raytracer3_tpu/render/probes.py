@@ -1,0 +1,339 @@
+"""Screen-space octahedral radiance-probe GI pipeline.
+
+TPU-native counterpart of the reference's probe stack (``shaders/old/``):
+
+1. **Structured importance sampling** (structured_importance_sampling.slang):
+   per 16×16-pixel probe, a pdf over the probe's 8×8 octahedral directions is
+   built from the tile's G-buffer normals; low-pdf directions donate their ray
+   budget to high-pdf directions, which are retraced at a finer octahedral mip
+   (15-bit direction index + 1 mip bit — same encoding, trace_probes.slang:
+   40-46). The reference's groupshared bitonic sort (math.slang:125-160)
+   becomes a batched ``jnp.sort`` / top-k over the direction axis, and the
+   per-direction pdf is one einsum on the MXU.
+2. **Probe tracing** (trace_probes.slang): one ray per probe texel from the
+   probe anchor's world position; radiance (secondary-surface emissive + NEE
+   direct light — an upgrade over the reference's emissive-only shading) and
+   hit depth land in the probe atlas with temporal blending.
+3. **SH3 projection** (spherical_harmonic_conversion.slang): the 8×8 atlas
+   tile projects onto 9 SH coefficients per color — the WaveActiveSum
+   reduction becomes one einsum over the direction axis.
+4. **Probe interpolation** (interpolate_probes.slang): per pixel, the 4
+   surrounding probes blend with edge-aware weights (relative-depth and
+   normal-agreement^8), the cosine-lobe SH irradiance is evaluated at the
+   pixel normal, modulated by albedo/π, plus emissive. Interpolation failure
+   renders debug red, like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from raytracer3_tpu.ops import mathx, packing, rng, sh
+from raytracer3_tpu.render import pathtracer
+from raytracer3_tpu.scene import types as scene_types
+from raytracer3_tpu.utils.config import RenderSettings
+
+
+class ProbeState(NamedTuple):
+    """Temporal probe buffers (the prev_probe_atlas double buffer)."""
+
+    atlas: jax.Array  # [Py*R, Px*R, 3] radiance
+    depth: jax.Array  # [Py*R, Px*R] hit distance
+    sh_coeffs: jax.Array  # [Py, Px, 3, 9]
+
+    @staticmethod
+    def create(settings: RenderSettings) -> "ProbeState":
+        px, py = settings.probe_grid
+        r = settings.probe_res
+        return ProbeState(
+            atlas=jnp.zeros((py * r, px * r, 3), jnp.float32),
+            depth=jnp.zeros((py * r, px * r), jnp.float32),
+            sh_coeffs=jnp.zeros((py, px, 3, 9), jnp.float32),
+        )
+
+
+def octa_direction_grid(res: int) -> jax.Array:
+    """[res, res, 3] unit directions at octahedral texel centers
+    (trace_probes.slang octa_decode((i+0.5)/res))."""
+    u = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
+    uu, vv = jnp.meshgrid(u, u, indexing="xy")
+    return packing.octa_decode(jnp.stack([uu, vv], axis=-1))
+
+
+def structured_importance_sampling(
+    gbuf_normal: jax.Array,  # [H, W, 3]
+    settings: RenderSettings,
+    budget_fraction: float = 1.0 / 3.0,
+):
+    """Per-probe ray budgeting (structured_importance_sampling.slang:19-70).
+
+    Returns (dir_index [Py, Px, R*R] int32, mip [Py, Px, R*R] int32):
+    direction index into the (possibly finer) octahedral grid, and the mip
+    bit (0 = base res R, 1 = res 2R), mirroring the 15+1-bit encoding.
+    """
+    px, py = settings.probe_grid
+    r = settings.probe_res
+    sp = settings.probe_spacing
+    ndirs = r * r
+
+    # Tile normals [Py, Px, sp*sp, 3] — the groupshared normal cache.
+    h_use = py * sp
+    w_use = px * sp
+    tiles = gbuf_normal[:h_use, :w_use].reshape(py, sp, px, sp, 3)
+    tiles = tiles.transpose(0, 2, 1, 3, 4).reshape(py, px, sp * sp, 3)
+
+    dirs = octa_direction_grid(r).reshape(ndirs, 3)  # [64, 3]
+    # pdf[p, d] = mean_i max(dot(n_i, dir_d), 0) — einsum → MXU.
+    pdf = jnp.maximum(jnp.einsum("yxnc,dc->yxd", tiles, dirs), 0.0) / (sp * sp)
+
+    # Sort pdfs ascending per probe (the bitonic sort analog).
+    order = jnp.argsort(pdf, axis=-1)  # ascending: first = most cullable
+    ranks = jnp.argsort(order, axis=-1)  # rank of each direction
+
+    # Cull the lowest `budget_fraction` of directions; each culled ray is
+    # re-pointed at one of the top directions, traced at the finer mip.
+    n_cull = int(ndirs * budget_fraction)
+    culled = ranks < n_cull  # [Py, Px, D] bool
+    # Top directions (descending pdf): winner k gets the k-th culled ray.
+    top = jnp.flip(order, axis=-1)  # [Py, Px, D] best-first
+
+    base_idx = jnp.broadcast_to(
+        jnp.arange(ndirs, dtype=jnp.int32), pdf.shape
+    )
+    # For culled slot with cull-rank q (q-th smallest), retarget to top[q],
+    # upsampled to the 2R grid (direction index scaling: (x,y) → 2x,2y base
+    # texel, matching the `direction * 4` reindex in the reference's
+    # 8→16 grid jump, structured_importance_sampling.slang:60-66).
+    cull_rank = ranks  # for culled ones rank < n_cull is the q
+    target = jnp.take_along_axis(top, jnp.clip(cull_rank, 0, ndirs - 1), axis=-1)
+    tx = target % r
+    ty = target // r
+    fine_idx = (ty * 2) * (2 * r) + (tx * 2)
+
+    dir_index = jnp.where(culled, fine_idx, base_idx).astype(jnp.int32)
+    mip = culled.astype(jnp.int32)
+    return dir_index, mip
+
+
+def trace_probes(
+    scene: scene_types.Scene,
+    intersect_fn: pathtracer.IntersectFn,
+    gbuf_depth: jax.Array,  # [H, W]
+    gbuf_normal: jax.Array,  # [H, W, 3]
+    origins: jax.Array,  # [H, W, 3] primary ray origins (camera pos)
+    view_dirs: jax.Array,  # [H, W, 3] primary ray directions
+    dir_index: jax.Array,  # [Py, Px, R*R]
+    mip: jax.Array,  # [Py, Px, R*R]
+    prev: ProbeState,
+    settings: RenderSettings,
+    frame_index,
+    blendfactor,
+    occluded_fn: Optional[pathtracer.OccludedFn] = None,
+) -> ProbeState:
+    """Trace one ray per probe texel and temporally blend into the atlas
+    (trace_probes.slang:14-77)."""
+    px, py = settings.probe_grid
+    r = settings.probe_res
+    sp = settings.probe_spacing
+    n = py * px * r * r
+
+    # Probe anchors: pixel (x*sp, y*sp) — trace_probes.slang:24.
+    ax = jnp.arange(px, dtype=jnp.int32) * sp
+    ay = jnp.arange(py, dtype=jnp.int32) * sp
+    axx, ayy = jnp.meshgrid(ax, ay, indexing="xy")  # [Py, Px]
+    anchor_depth = gbuf_depth[ayy, axx]  # [Py, Px]
+    anchor_pos = (
+        origins[ayy, axx] + view_dirs[ayy, axx] * anchor_depth[..., None]
+    )  # world_pos_from_depth (gbuffer_helpers.slang:86-88)
+    probe_valid = anchor_depth < mathx.BACKGROUND_DEPTH
+
+    # Per-texel jittered octahedral direction at base or fine mip.
+    atlas_ids = jnp.arange(n, dtype=jnp.uint32)
+    sampler = rng.Sampler.from_ids(atlas_ids, frame_index)
+    uj, sampler = sampler.next2()
+    di = dir_index.reshape(py, px, r * r)
+    mp = mip.reshape(py, px, r * r)
+    size = jnp.where(mp == 1, 2 * r, r).astype(jnp.float32)  # [Py, Px, D]
+    dx = (di % (2 * r)).astype(jnp.float32)
+    dy = (di // (2 * r)).astype(jnp.float32)
+    # Base-mip indices address the R-grid; fine-mip address the 2R grid.
+    dx = jnp.where(mp == 1, dx, (di % r).astype(jnp.float32))
+    dy = jnp.where(mp == 1, dy, (di // r).astype(jnp.float32))
+    uvj = (
+        jnp.stack([dx, dy], axis=-1) + uj.reshape(py, px, r * r, 2)
+    ) / size[..., None]
+    ray_dir = packing.octa_decode(uvj).reshape(n, 3)
+
+    ray_org = jnp.broadcast_to(
+        anchor_pos[:, :, None, :], (py, px, r * r, 3)
+    ).reshape(n, 3)
+    # Anchor normals face-forwarded toward the camera so the self-offset
+    # always pushes into open space regardless of mesh winding.
+    anchor_nrm = pathtracer._face_forward(
+        gbuf_normal[ayy, axx], -view_dirs[ayy, axx]
+    )
+    nrm = jnp.broadcast_to(
+        anchor_nrm[:, :, None, :], (py, px, r * r, 3)
+    ).reshape(n, 3)
+    ray_org = ray_org + nrm * 5e-4  # TMin analog (trace_probes.slang:55)
+
+    h = intersect_fn(ray_org, ray_dir)
+    surface = scene_types.hit_surface_info(scene, h.prim_id, h.uv)
+
+    # Shade the secondary surface: emissive + (upgrade) one-sample NEE direct
+    # light, so probes carry real single-bounce GI.
+    radiance = surface.emissive
+    if occluded_fn is not None and int(scene.emissive.tri_ids.shape[0]) > 0:
+        hit_pos = ray_org + h.t[:, None] * ray_dir
+        s_nrm = pathtracer._face_forward(surface.normal, -ray_dir)
+        u3, sampler = sampler.next3()
+        li, sampler = pathtracer._nee_contribution(
+            scene, occluded_fn, hit_pos, s_nrm, -ray_dir, surface, u3,
+            sampler, settings,
+        )
+        radiance = radiance + li
+    env = pathtracer._sample_env(scene, ray_dir)
+    radiance = jnp.where(h.hit[:, None], radiance, env)
+
+    # Write texel (dir_2d scaled back to the base grid for culled rays —
+    # trace_probes.slang:74 writes at (direction_2d / size) * R).
+    tex_x = jnp.clip((dx / size * r), 0, r - 1).astype(jnp.int32)
+    tex_y = jnp.clip((dy / size * r), 0, r - 1).astype(jnp.int32)
+    pyy, pxx, _ = jnp.meshgrid(
+        jnp.arange(py), jnp.arange(px), jnp.arange(r * r), indexing="ij"
+    )
+    row = pyy * r + tex_y.reshape(py, px, r * r)
+    col = pxx * r + tex_x.reshape(py, px, r * r)
+
+    new_atlas = jnp.zeros_like(prev.atlas)
+    new_depth = jnp.zeros_like(prev.depth)
+    rad3 = radiance.reshape(py, px, r * r, 3)
+    dep = h.t.reshape(py, px, r * r)
+    new_atlas = new_atlas.at[row, col].set(rad3)
+    new_depth = new_depth.at[row, col].set(dep)
+
+    # Temporal blend (trace_probes.slang:74 lerp w/ blendfactor); invalid
+    # probes (sky anchors) store zero radiance + BACKGROUND depth.
+    pv = jnp.repeat(jnp.repeat(probe_valid, r, axis=0), r, axis=1)
+    blended = prev.atlas + (new_atlas - prev.atlas) * blendfactor
+    atlas = jnp.where(pv[..., None], blended, 0.0)
+    depth = jnp.where(pv, new_depth, mathx.BACKGROUND_DEPTH)
+    return ProbeState(atlas=atlas, depth=depth, sh_coeffs=prev.sh_coeffs)
+
+
+def project_sh(state: ProbeState, settings: RenderSettings) -> ProbeState:
+    """Probe atlas → SH3 coefficients (spherical_harmonic_conversion.slang:
+    9-33): coeff = Σ_d Y(dir_d)·L_d × 4π/(R·R), one einsum per color."""
+    px, py = settings.probe_grid
+    r = settings.probe_res
+    atlas = state.atlas.reshape(py, r, px, r, 3).transpose(0, 2, 1, 3, 4)
+    atlas = atlas.reshape(py, px, r * r, 3)
+    basis = sh.sh3_evaluate(octa_direction_grid(r).reshape(r * r, 3))  # [D, 9]
+    coeffs = jnp.einsum("yxdc,dk->yxck", atlas, basis) * (
+        4.0 * jnp.pi / (r * r)
+    )
+    return state._replace(sh_coeffs=coeffs)
+
+
+def interpolate_probes(
+    gbuf_depth: jax.Array,  # [H, W]
+    gbuf_normal: jax.Array,  # [H, W, 3]
+    albedo: jax.Array,  # [H, W, 3]
+    emissive: jax.Array,  # [H, W, 3]
+    state: ProbeState,
+    settings: RenderSettings,
+) -> jax.Array:
+    """Per-pixel 4-probe edge-aware blend → irradiance × albedo/π + emissive
+    (interpolate_probes.slang:11-110). Returns light [H, W, 3]; failed
+    interpolation renders debug red like the reference."""
+    h, w = gbuf_depth.shape
+    px, py = settings.probe_grid
+    sp = settings.probe_spacing
+
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    p0x = jnp.clip(xs // sp, 0, px - 1)
+    p0y = jnp.clip(ys // sp, 0, py - 1)
+
+    light = jnp.zeros((h, w, 3), jnp.float32)
+    wsum = jnp.zeros((h, w), jnp.float32)
+
+    pix_depth = gbuf_depth
+    contribs = []
+    weights = []
+    for oy in (0, 1):
+        for ox in (0, 1):
+            pxc = jnp.clip(p0x + ox, 0, px - 1)
+            pyc = jnp.clip(p0y + oy, 0, py - 1)
+            a_x = pxc * sp
+            a_y = pyc * sp
+            probe_depth = gbuf_depth[a_y, a_x]
+            probe_normal = gbuf_normal[a_y, a_x]
+            valid = probe_depth < mathx.BACKGROUND_DEPTH
+            # Edge-aware weight (interpolate_probes.slang:65-70):
+            wgt = jnp.clip(
+                1.0 - jnp.abs(probe_depth - pix_depth) / jnp.maximum(pix_depth, 1e-6),
+                0.0, 1.0,
+            )
+            wgt = wgt * jnp.maximum(
+                jnp.sum(gbuf_normal * probe_normal, -1), 0.0
+            )
+            wgt = jnp.where(valid, wgt**8, 0.0)
+
+            coeffs = state.sh_coeffs[pyc, pxc]  # [H, W, 3, 9]
+            irr = sh.sh3_unproject_cos_lobe(coeffs, gbuf_normal)  # [H, W, 3]
+            contribs.append(jnp.maximum(irr, 0.0))
+            weights.append(wgt)
+
+    wstack = jnp.stack(weights)  # [4, H, W]
+    wsum = jnp.sum(wstack, axis=0)
+    failed = wsum <= 1e-8
+    wnorm = wstack / jnp.maximum(wsum, 1e-8)
+    irr = sum(c * wn[..., None] for c, wn in zip(contribs, wnorm))
+
+    light = irr * albedo * mathx.INV_PI + emissive
+    red = jnp.zeros_like(light).at[..., 0].set(1.0)
+    light = jnp.where(failed[..., None], red, light)
+    # Sky pixels contribute nothing here (postprocess fills them).
+    sky = pix_depth >= mathx.BACKGROUND_DEPTH
+    return jnp.where(sky[..., None], 0.0, light)
+
+
+def probe_gi_frame(
+    scene: scene_types.Scene,
+    intersect_fn: pathtracer.IntersectFn,
+    cam,
+    prev: ProbeState,
+    settings: RenderSettings,
+    frame_index,
+    blendfactor=0.15,
+    occluded_fn: Optional[pathtracer.OccludedFn] = None,
+):
+    """Full probe-GI frame (the legacy pipeline of SURVEY.md §3.5): G-buffer →
+    SIS → trace probes → SH project → interpolate. Returns (light [H,W,3],
+    new ProbeState, gbuffer aux dict)."""
+    from raytracer3_tpu.render import camera as camera_mod
+
+    w, h = settings.width, settings.height
+    pix = camera_mod.pixel_grid(w, h)
+    o, d = camera_mod.primary_rays(cam, w, h, pixel_xy=pix)
+    gbuf = pathtracer.trace_gbuffer(scene, intersect_fn, o, d)
+
+    depth2 = gbuf.depth.reshape(h, w)
+    normal2 = gbuf.surface.normal.reshape(h, w, 3)
+    albedo2 = gbuf.surface.albedo.reshape(h, w, 3)
+    emissive2 = gbuf.surface.emissive.reshape(h, w, 3)
+    o2 = o.reshape(h, w, 3)
+    d2 = d.reshape(h, w, 3)
+
+    dir_index, mip = structured_importance_sampling(normal2, settings)
+    state = trace_probes(
+        scene, intersect_fn, depth2, normal2, o2, d2, dir_index, mip,
+        prev, settings, frame_index, blendfactor, occluded_fn,
+    )
+    state = project_sh(state, settings)
+    light = interpolate_probes(depth2, normal2, albedo2, emissive2, state, settings)
+    aux = dict(depth=depth2, view_dirs=d2, hit=gbuf.hit.reshape(h, w))
+    return light, state, aux

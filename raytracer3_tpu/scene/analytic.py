@@ -13,10 +13,11 @@ from raytracer3_tpu.scene import types as scene_types
 
 
 def _quad(p0, p1, p2, p3):
-    """Two CCW triangles for the quad p0-p1-p2-p3 (normal via right-hand rule)."""
+    """Two triangles for the quad p0-p1-p2-p3, wound so the geometric normal
+    is -cross(p1-p0, p2-p0) — inward for the CCW-listed Cornell walls."""
     verts = np.asarray([p0, p1, p2, p3], np.float32)
-    idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
-    n = np.cross(verts[1] - verts[0], verts[2] - verts[0])
+    idx = np.asarray([[0, 2, 1], [0, 3, 2]], np.int32)
+    n = -np.cross(verts[1] - verts[0], verts[2] - verts[0])
     n = n / np.linalg.norm(n)
     normals = np.tile(n, (4, 1)).astype(np.float32)
     uvs = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)

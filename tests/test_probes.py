@@ -1,0 +1,121 @@
+"""Probe-GI pipeline tests (SIS, probe tracing, SH conversion, interpolation
+— the shaders/old/ pipeline, SURVEY.md §3.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer3_tpu.ops import intersect, mathx, sh
+from raytracer3_tpu.render import probes
+from raytracer3_tpu.scene import analytic
+from raytracer3_tpu.utils.config import RenderSettings
+
+SET = RenderSettings(width=64, height=64, probe_spacing=16, probe_res=8, diffuse_only=True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = analytic.cornell_box()
+    cam = analytic.default_camera()
+    v0, v1, v2 = scene.tri_vertices()
+
+    def isect(o, d):
+        return intersect.intersect_bruteforce(o, d, v0, v1, v2)
+
+    def occl(o, d, tmax):
+        return intersect.occluded_bruteforce(o, d, v0, v1, v2, t_max=tmax)
+
+    return scene, cam, isect, occl
+
+
+class TestSIS:
+    def test_budget_reallocation(self):
+        # Normals all +z → directions facing +z get high pdf; culled rays
+        # (low pdf) must be retargeted to fine-mip indices of top directions.
+        n = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (64, 64, 1))
+        di, mip = probes.structured_importance_sampling(n, SET)
+        assert di.shape == (4, 4, 64)
+        frac = float(jnp.mean(mip))
+        assert 0.2 < frac < 0.45  # ~1/3 culled
+        # Culled rays (mip=1) index the fine 16-grid: even coords.
+        fine = np.asarray(di)[np.asarray(mip) == 1]
+        assert ((fine % 2) == 0).all()
+        # Retargeted dirs should favor +z: decode and check mean z.
+        dirs = probes.octa_direction_grid(16).reshape(-1, 3)
+        mean_z = float(jnp.mean(dirs[fine // 16 * 16 + fine % 16][:, 2]))
+        assert mean_z > 0.2
+
+    def test_uniform_when_mixed_normals(self):
+        key = jax.random.PRNGKey(0)
+        v = jax.random.normal(key, (64, 64, 3))
+        n = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        di, mip = probes.structured_importance_sampling(n, SET)
+        assert np.isfinite(np.asarray(di)).all()
+
+
+class TestOctaGrid:
+    def test_unit_directions(self):
+        g = probes.octa_direction_grid(8)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(g), axis=-1), 1.0, atol=1e-5)
+
+    def test_covers_sphere(self):
+        g = np.asarray(probes.octa_direction_grid(8)).reshape(-1, 3)
+        assert g[:, 2].max() > 0.8 and g[:, 2].min() < -0.8
+
+
+class TestPipeline:
+    def test_full_frame(self, setup):
+        scene, cam, isect, occl = setup
+        prev = probes.ProbeState.create(SET)
+        light, state, aux = probes.probe_gi_frame(
+            scene, isect, cam, prev, SET, frame_index=0, occluded_fn=occl
+        )
+        assert light.shape == (64, 64, 3)
+        assert np.isfinite(np.asarray(light)).all()
+        assert np.isfinite(np.asarray(state.atlas)).all()
+        assert np.isfinite(np.asarray(state.sh_coeffs)).all()
+        # Probes see the emissive panel → some indirect light lands somewhere.
+        assert float(jnp.max(state.atlas)) > 0.0
+
+    def test_temporal_blend_converges(self, setup):
+        scene, cam, isect, occl = setup
+        state = probes.ProbeState.create(SET)
+        frame = jax.jit(
+            lambda st, fi: probes.probe_gi_frame(
+                scene, isect, cam, st, SET, frame_index=fi, blendfactor=0.5,
+                occluded_fn=occl,
+            )[:2]
+        )
+        atl_prev = None
+        for i in range(4):
+            light, state = frame(state, jnp.uint32(i))
+            atl = np.asarray(state.atlas)
+            if atl_prev is not None:
+                delta = np.abs(atl - atl_prev).mean()
+            atl_prev = atl
+        assert np.isfinite(atl).all()
+
+    def test_sh_projection_of_atlas(self):
+        # Fill the atlas with a constant → SH reconstruction ≈ constant.
+        state = probes.ProbeState.create(SET)
+        state = state._replace(atlas=jnp.ones_like(state.atlas) * 2.0)
+        state = probes.project_sh(state, SET)
+        irr = sh.sh3_unproject(state.sh_coeffs[0, 0, 0], jnp.array([0.0, 0.0, 1.0]))
+        # DC of constant 2: reconstruction ≈ 2 (octa grid is not perfectly
+        # uniform → loose tolerance).
+        assert 1.0 < float(irr) < 3.0
+
+    def test_interpolation_failure_is_red(self):
+        # All probes invalid (sky) but a pixel with valid depth → red.
+        gd = jnp.full((64, 64), mathx.BACKGROUND_DEPTH)
+        gd = gd.at[33, 33].set(5.0)  # valid pixel, but probe anchors are sky
+        gn = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (64, 64, 1))
+        alb = jnp.ones((64, 64, 3)) * 0.5
+        em = jnp.zeros((64, 64, 3))
+        state = probes.ProbeState.create(SET)
+        state = state._replace(depth=jnp.full_like(state.depth, mathx.BACKGROUND_DEPTH))
+        light = probes.interpolate_probes(gd, gn, alb, em, state, SET)
+        np.testing.assert_allclose(np.asarray(light[33, 33]), [1.0, 0.0, 0.0])
+        # Sky pixels black.
+        np.testing.assert_allclose(np.asarray(light[0, 0]), [0.0, 0.0, 0.0])
