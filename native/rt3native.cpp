@@ -1,0 +1,488 @@
+// rt3native: native asset-pipeline kernels for raytracer3_tpu.
+//
+// C++ counterpart of the reference's native mesh tooling: the meshopt-based
+// asset transforms (src/assets/mod.rs:253-267: vertex-cache optimization,
+// overdraw, fetch order), the standalone mesh encoder's quantization codecs
+// (src/meshopt/encoder.rs:120-190: 14-bit positions, octahedral normals,
+// 12-bit uvs), the analysis harness metrics (src/meshopt/meshopt.rs:362-394:
+// ACMR/ATVR cache simulation), plus a binned-SAH BVH/cluster builder playing
+// the role of the driver-side acceleration-structure build
+// (src/renderer/vulkan/raytracing.rs:88-148) for static scenes — the TPU
+// device-side LBVH (ops/bvh.py) remains the dynamic-scene path.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in the image).
+
+#include <algorithm>
+#include <cfloat>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Vertex deduplication + reindex (the glTF importer's implicit weld).
+// Returns the new vertex count; remap[i] = new index of original vertex i.
+// ---------------------------------------------------------------------------
+int rt3_weld_vertices(const float* attrs, int n_verts, int stride_floats,
+                      int* remap_out) {
+  struct Key {
+    const float* p;
+    int stride;
+    bool operator==(const Key& o) const {
+      return std::memcmp(p, o.p, sizeof(float) * stride) == 0;
+    }
+  };
+  struct Hash {
+    size_t operator()(const Key& k) const {
+      // FNV-1a over bytes
+      size_t h = 1469598103934665603ull;
+      const unsigned char* b = reinterpret_cast<const unsigned char*>(k.p);
+      for (int i = 0; i < k.stride * 4; ++i) h = (h ^ b[i]) * 1099511628211ull;
+      return h;
+    }
+  };
+  // open addressing table
+  int cap = 1;
+  while (cap < n_verts * 2) cap <<= 1;
+  std::vector<int> table(cap, -1);
+  Hash hasher;
+  int next_id = 0;
+  for (int i = 0; i < n_verts; ++i) {
+    Key k{attrs + (size_t)i * stride_floats, stride_floats};
+    size_t h = hasher(k) & (cap - 1);
+    int found = -1;
+    while (table[h] != -1) {
+      int j = table[h];
+      Key kj{attrs + (size_t)j * stride_floats, stride_floats};
+      if (kj == k) { found = remap_out[j]; break; }
+      h = (h + 1) & (cap - 1);
+    }
+    if (found >= 0) {
+      remap_out[i] = found;
+    } else {
+      table[h] = i;
+      remap_out[i] = next_id++;
+    }
+  }
+  return next_id;
+}
+
+// ---------------------------------------------------------------------------
+// Vertex-cache optimization — Tom Forsyth's linear-speed algorithm (the
+// optimize_vertex_cache role, assets/mod.rs:255). In/out triangle indices.
+// ---------------------------------------------------------------------------
+static float forsyth_vertex_score(int cache_pos, int remaining_tris) {
+  const float kCacheDecayPower = 1.5f;
+  const float kLastTriScore = 0.75f;
+  const float kValenceBoostScale = 2.0f;
+  const float kValenceBoostPower = 0.5f;
+  const int kCacheSize = 32;
+  if (remaining_tris <= 0) return -1.0f;
+  float score = 0.0f;
+  if (cache_pos >= 0) {
+    if (cache_pos < 3) {
+      score = kLastTriScore;
+    } else {
+      float s = 1.0f - float(cache_pos - 3) / float(kCacheSize - 3);
+      score = std::pow(s, kCacheDecayPower);
+    }
+  }
+  score += kValenceBoostScale * std::pow((float)remaining_tris, -kValenceBoostPower);
+  return score;
+}
+
+void rt3_optimize_vertex_cache(int* indices, int n_tris, int n_verts) {
+  const int kCacheSize = 32;
+  std::vector<int> valence(n_verts, 0);
+  for (int i = 0; i < n_tris * 3; ++i) valence[indices[i]]++;
+  std::vector<int> offsets(n_verts + 1, 0);
+  for (int v = 0; v < n_verts; ++v) offsets[v + 1] = offsets[v] + valence[v];
+  std::vector<int> tri_of(offsets[n_verts]);
+  {
+    std::vector<int> cur(offsets.begin(), offsets.end() - 1);
+    for (int t = 0; t < n_tris; ++t)
+      for (int k = 0; k < 3; ++k) tri_of[cur[indices[t * 3 + k]]++] = t;
+  }
+  std::vector<int> remaining(valence);
+  std::vector<float> vscore(n_verts);
+  std::vector<int> cache_pos(n_verts, -1);
+  for (int v = 0; v < n_verts; ++v) vscore[v] = forsyth_vertex_score(-1, remaining[v]);
+
+  std::vector<float> tscore(n_tris, 0.0f);
+  std::vector<char> emitted(n_tris, 0);
+  for (int t = 0; t < n_tris; ++t)
+    for (int k = 0; k < 3; ++k) tscore[t] += vscore[indices[t * 3 + k]];
+
+  std::vector<int> cache;
+  cache.reserve(kCacheSize + 3);
+  std::vector<int> out;
+  out.reserve(n_tris * 3);
+
+  int emitted_count = 0;
+  int best_tri = 0;
+  while (emitted_count < n_tris) {
+    // find best triangle (among cache-adjacent, else global scan)
+    if (best_tri < 0 || emitted[best_tri]) {
+      float best = -FLT_MAX;
+      best_tri = -1;
+      for (int v : cache) {
+        for (int o = offsets[v]; o < offsets[v + 1]; ++o) {
+          int t = tri_of[o];
+          if (!emitted[t] && tscore[t] > best) { best = tscore[t]; best_tri = t; }
+        }
+      }
+      if (best_tri < 0) {
+        for (int t = 0; t < n_tris; ++t)
+          if (!emitted[t] && tscore[t] > best) { best = tscore[t]; best_tri = t; }
+      }
+    }
+    int t = best_tri;
+    emitted[t] = 1;
+    emitted_count++;
+    for (int k = 0; k < 3; ++k) {
+      int v = indices[t * 3 + k];
+      out.push_back(v);
+      remaining[v]--;
+      // move to cache front
+      auto it = std::find(cache.begin(), cache.end(), v);
+      if (it != cache.end()) cache.erase(it);
+      cache.insert(cache.begin(), v);
+    }
+    if ((int)cache.size() > kCacheSize) cache.resize(kCacheSize);
+    // update scores of cached vertices + their triangles; pick next best
+    float best = -FLT_MAX;
+    int next = -1;
+    for (size_t ci = 0; ci < cache.size(); ++ci) {
+      int v = cache[ci];
+      vscore[v] = forsyth_vertex_score((int)ci, remaining[v]);
+    }
+    for (int v : cache) {
+      for (int o = offsets[v]; o < offsets[v + 1]; ++o) {
+        int tt = tri_of[o];
+        if (emitted[tt]) continue;
+        float s = 0;
+        for (int k = 0; k < 3; ++k) s += vscore[indices[tt * 3 + k]];
+        tscore[tt] = s;
+        if (s > best) { best = s; next = tt; }
+      }
+    }
+    best_tri = next;
+  }
+  std::memcpy(indices, out.data(), sizeof(int) * out.size());
+}
+
+// ---------------------------------------------------------------------------
+// Vertex-fetch optimization: reorder vertices by first use in index order
+// (the optimize_vertex_fetch role, assets/mod.rs:259). Returns new count.
+// remap_out maps old→new vertex ids; caller permutes attribute arrays.
+// ---------------------------------------------------------------------------
+int rt3_optimize_vertex_fetch(int* indices, int n_tris, int n_verts,
+                              int* remap_out) {
+  for (int v = 0; v < n_verts; ++v) remap_out[v] = -1;
+  int next_id = 0;
+  for (int i = 0; i < n_tris * 3; ++i) {
+    int v = indices[i];
+    if (remap_out[v] < 0) remap_out[v] = next_id++;
+    indices[i] = remap_out[v];
+  }
+  for (int v = 0; v < n_verts; ++v)
+    if (remap_out[v] < 0) remap_out[v] = next_id++;
+  return next_id;
+}
+
+// ---------------------------------------------------------------------------
+// ACMR / ATVR cache simulation (meshopt.rs:362-394 analysis role).
+// FIFO cache model of the given size.
+// ---------------------------------------------------------------------------
+void rt3_analyze_cache(const int* indices, int n_tris, int n_verts,
+                       int cache_size, float* acmr_out, float* atvr_out) {
+  std::vector<int> stamp(n_verts, -1);
+  int time = 0, misses = 0;
+  for (int i = 0; i < n_tris * 3; ++i) {
+    int v = indices[i];
+    if (stamp[v] < 0 || time - stamp[v] >= cache_size) {
+      misses++;
+      stamp[v] = time++;
+    }
+  }
+  std::vector<char> used(n_verts, 0);
+  int unique = 0;
+  for (int i = 0; i < n_tris * 3; ++i)
+    if (!used[indices[i]]) { used[indices[i]] = 1; unique++; }
+  *acmr_out = n_tris ? (float)misses / n_tris : 0.0f;
+  *atvr_out = unique ? (float)misses / unique : 0.0f;
+}
+
+// ---------------------------------------------------------------------------
+// Quantization codecs (encoder.rs:120-190 analog).
+// ---------------------------------------------------------------------------
+void rt3_quantize_positions_14(const float* pos, int n, uint16_t* out,
+                               float* scale_bias /* [6]: bias3, scale3 */) {
+  float mn[3] = {FLT_MAX, FLT_MAX, FLT_MAX};
+  float mx[3] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+  for (int i = 0; i < n; ++i)
+    for (int c = 0; c < 3; ++c) {
+      mn[c] = std::min(mn[c], pos[i * 3 + c]);
+      mx[c] = std::max(mx[c], pos[i * 3 + c]);
+    }
+  const float q = 16383.0f;  // 14 bits
+  for (int c = 0; c < 3; ++c) {
+    scale_bias[c] = mn[c];
+    scale_bias[3 + c] = (mx[c] - mn[c]) > 0 ? (mx[c] - mn[c]) : 1.0f;
+  }
+  for (int i = 0; i < n; ++i)
+    for (int c = 0; c < 3; ++c) {
+      float t = (pos[i * 3 + c] - scale_bias[c]) / scale_bias[3 + c];
+      out[i * 3 + c] = (uint16_t)(t * q + 0.5f);
+    }
+}
+
+void rt3_dequantize_positions_14(const uint16_t* qpos, int n,
+                                 const float* scale_bias, float* out) {
+  const float q = 16383.0f;
+  for (int i = 0; i < n; ++i)
+    for (int c = 0; c < 3; ++c)
+      out[i * 3 + c] =
+          scale_bias[c] + (qpos[i * 3 + c] / q) * scale_bias[3 + c];
+}
+
+// Octahedral normal encode/decode at 8 bits per component
+// (encoder.rs octa-normal role; same mapping as shaders/include/packing.slang:64-87).
+void rt3_encode_normals_octa8(const float* nrm, int n, uint16_t* out) {
+  for (int i = 0; i < n; ++i) {
+    float x = nrm[i * 3], y = nrm[i * 3 + 1], z = nrm[i * 3 + 2];
+    float s = std::abs(x) + std::abs(y) + std::abs(z);
+    if (s < 1e-20f) s = 1.0f;
+    float u = x / s, v = y / s;
+    if (z < 0) {
+      float uu = (1.0f - std::abs(v)) * (u >= 0 ? 1.0f : -1.0f);
+      float vv = (1.0f - std::abs(u)) * (v >= 0 ? 1.0f : -1.0f);
+      u = uu; v = vv;
+    }
+    int qu = (int)((u * 0.5f + 0.5f) * 255.0f + 0.5f);
+    int qv = (int)((v * 0.5f + 0.5f) * 255.0f + 0.5f);
+    out[i] = (uint16_t)((qv << 8) | qu);
+  }
+}
+
+void rt3_decode_normals_octa8(const uint16_t* enc, int n, float* out) {
+  for (int i = 0; i < n; ++i) {
+    float u = ((enc[i] & 0xFF) / 255.0f) * 2.0f - 1.0f;
+    float v = (((enc[i] >> 8) & 0xFF) / 255.0f) * 2.0f - 1.0f;
+    float z = 1.0f - std::abs(u) - std::abs(v);
+    float t = std::max(-z, 0.0f);
+    u -= (u >= 0 ? 1.0f : -1.0f) * t;
+    v -= (v >= 0 ? 1.0f : -1.0f) * t;
+    float len = std::sqrt(u * u + v * v + z * z);
+    out[i * 3] = u / len;
+    out[i * 3 + 1] = v / len;
+    out[i * 3 + 2] = z / len;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Binned-SAH BVH builder over primitive AABBs. Produces the same node layout
+// as ops/bvh.py (internal nodes [0, P-1), leaves [P-1, 2P-1), leaf_prim[P]).
+// Higher-quality trees than LBVH for static scenes.
+// ---------------------------------------------------------------------------
+struct SahCtx {
+  const float* bmin;
+  const float* bmax;
+  std::vector<float> cent;
+  std::vector<int> prim;       // permuted primitive order
+  std::vector<int> left, right;
+  std::vector<float> nmin, nmax;
+  int next_internal = 0;
+  int n = 0;
+};
+
+static void sah_union(const SahCtx& c, int lo, int hi, float* mn, float* mx,
+                      float* cmn, float* cmx) {
+  for (int k = 0; k < 3; ++k) {
+    mn[k] = FLT_MAX; mx[k] = -FLT_MAX; cmn[k] = FLT_MAX; cmx[k] = -FLT_MAX;
+  }
+  for (int i = lo; i < hi; ++i) {
+    int p = c.prim[i];
+    for (int k = 0; k < 3; ++k) {
+      mn[k] = std::min(mn[k], c.bmin[p * 3 + k]);
+      mx[k] = std::max(mx[k], c.bmax[p * 3 + k]);
+      cmn[k] = std::min(cmn[k], c.cent[p * 3 + k]);
+      cmx[k] = std::max(cmx[k], c.cent[p * 3 + k]);
+    }
+  }
+}
+
+static float half_area(const float* mn, const float* mx) {
+  float dx = std::max(mx[0] - mn[0], 0.f), dy = std::max(mx[1] - mn[1], 0.f),
+        dz = std::max(mx[2] - mn[2], 0.f);
+  return dx * dy + dy * dz + dz * dx;
+}
+
+static int sah_build(SahCtx& c, int lo, int hi) {
+  int count = hi - lo;
+  if (count == 1) return (c.n - 1) + lo;  // leaf id = (P-1) + position
+
+  float mn[3], mx[3], cmn[3], cmx[3];
+  sah_union(c, lo, hi, mn, mx, cmn, cmx);
+
+  int node = c.next_internal++;
+  for (int k = 0; k < 3; ++k) {
+    c.nmin[node * 3 + k] = mn[k];
+    c.nmax[node * 3 + k] = mx[k];
+  }
+
+  // Pick split: binned SAH over the widest centroid axis; median fallback.
+  int axis = 0;
+  float ext[3] = {cmx[0] - cmn[0], cmx[1] - cmn[1], cmx[2] - cmn[2]};
+  if (ext[1] > ext[axis]) axis = 1;
+  if (ext[2] > ext[axis]) axis = 2;
+
+  int mid = lo + count / 2;
+  if (ext[axis] > 1e-12f && count > 4) {
+    const int kBins = 16;
+    int bin_count[kBins] = {0};
+    float bin_min[kBins][3], bin_max[kBins][3];
+    for (int b = 0; b < kBins; ++b)
+      for (int k = 0; k < 3; ++k) { bin_min[b][k] = FLT_MAX; bin_max[b][k] = -FLT_MAX; }
+    float inv = kBins / ext[axis];
+    for (int i = lo; i < hi; ++i) {
+      int p = c.prim[i];
+      int b = std::min(kBins - 1, (int)((c.cent[p * 3 + axis] - cmn[axis]) * inv));
+      bin_count[b]++;
+      for (int k = 0; k < 3; ++k) {
+        bin_min[b][k] = std::min(bin_min[b][k], c.bmin[p * 3 + k]);
+        bin_max[b][k] = std::max(bin_max[b][k], c.bmax[p * 3 + k]);
+      }
+    }
+    // sweep
+    float lmin[kBins][3], lmax[kBins][3];
+    int lcnt[kBins];
+    {
+      float accm[3] = {FLT_MAX, FLT_MAX, FLT_MAX}, accx[3] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+      int acc = 0;
+      for (int b = 0; b < kBins; ++b) {
+        acc += bin_count[b];
+        for (int k = 0; k < 3; ++k) {
+          accm[k] = std::min(accm[k], bin_min[b][k]);
+          accx[k] = std::max(accx[k], bin_max[b][k]);
+          lmin[b][k] = accm[k]; lmax[b][k] = accx[k];
+        }
+        lcnt[b] = acc;
+      }
+    }
+    float best_cost = FLT_MAX;
+    int best_bin = -1;
+    {
+      float accm[3] = {FLT_MAX, FLT_MAX, FLT_MAX}, accx[3] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+      int acc = 0;
+      for (int b = kBins - 1; b >= 1; --b) {
+        acc += bin_count[b];
+        for (int k = 0; k < 3; ++k) {
+          accm[k] = std::min(accm[k], bin_min[b][k]);
+          accx[k] = std::max(accx[k], bin_max[b][k]);
+        }
+        int lc = lcnt[b - 1];
+        if (lc == 0 || acc == 0) continue;
+        float cost = lc * half_area(lmin[b - 1], lmax[b - 1]) +
+                     acc * half_area(accm, accx);
+        if (cost < best_cost) { best_cost = cost; best_bin = b; }
+      }
+    }
+    if (best_bin > 0) {
+      float split = cmn[axis] + best_bin * ext[axis] / 16.0f;
+      int* pr = c.prim.data();
+      int i = lo, j = hi - 1;
+      while (i <= j) {
+        if (c.cent[pr[i] * 3 + axis] < split) i++;
+        else std::swap(pr[i], pr[j--]);
+      }
+      mid = i;
+      if (mid == lo || mid == hi) mid = lo + count / 2;  // degenerate
+    }
+  }
+  if (mid == lo + count / 2) {
+    // median split on axis: nth_element
+    std::nth_element(
+        c.prim.begin() + lo, c.prim.begin() + mid, c.prim.begin() + hi,
+        [&](int a, int b) { return c.cent[a * 3 + axis] < c.cent[b * 3 + axis]; });
+  }
+  c.left[node] = sah_build(c, lo, mid);
+  c.right[node] = sah_build(c, mid, hi);
+  return node;
+}
+
+int rt3_build_sah_bvh(const float* bmin, const float* bmax, int n,
+                      int* left, int* right, float* node_min, float* node_max,
+                      int* leaf_prim) {
+  if (n < 2) return -1;
+  SahCtx c;
+  c.bmin = bmin; c.bmax = bmax; c.n = n;
+  c.cent.resize((size_t)n * 3);
+  for (int i = 0; i < n * 3; ++i) c.cent[i] = 0.5f * (bmin[i] + bmax[i]);
+  c.prim.resize(n);
+  for (int i = 0; i < n; ++i) c.prim[i] = i;
+  c.left.assign(n - 1, 0);
+  c.right.assign(n - 1, 0);
+  c.nmin.assign((size_t)(2 * n - 1) * 3, 0.f);
+  c.nmax.assign((size_t)(2 * n - 1) * 3, 0.f);
+  int root = sah_build(c, 0, n);
+  (void)root;
+  // leaf boxes
+  for (int i = 0; i < n; ++i) {
+    int p = c.prim[i];
+    for (int k = 0; k < 3; ++k) {
+      c.nmin[(size_t)(n - 1 + i) * 3 + k] = bmin[p * 3 + k];
+      c.nmax[(size_t)(n - 1 + i) * 3 + k] = bmax[p * 3 + k];
+    }
+    leaf_prim[i] = p;
+  }
+  std::memcpy(left, c.left.data(), sizeof(int) * (n - 1));
+  std::memcpy(right, c.right.data(), sizeof(int) * (n - 1));
+  std::memcpy(node_min, c.nmin.data(), sizeof(float) * (2 * n - 1) * 3);
+  std::memcpy(node_max, c.nmax.data(), sizeof(float) * (2 * n - 1) * 3);
+  return c.next_internal;  // should equal n-1
+}
+
+// ---------------------------------------------------------------------------
+// SAH-guided clustering: partition primitives into clusters of <= leaf_size
+// by recursive SAH/median splits (tighter cluster AABBs than Morton blocks).
+// cluster_of[i] = cluster id of primitive i. Returns cluster count.
+// ---------------------------------------------------------------------------
+static void cluster_rec(SahCtx& c, int lo, int hi, int leaf_size,
+                        int* cluster_of, int* next_cluster) {
+  int count = hi - lo;
+  if (count <= leaf_size) {
+    int id = (*next_cluster)++;
+    for (int i = lo; i < hi; ++i) cluster_of[c.prim[i]] = id;
+    return;
+  }
+  float mn[3], mx[3], cmn[3], cmx[3];
+  sah_union(c, lo, hi, mn, mx, cmn, cmx);
+  int axis = 0;
+  float ext[3] = {cmx[0] - cmn[0], cmx[1] - cmn[1], cmx[2] - cmn[2]};
+  if (ext[1] > ext[axis]) axis = 1;
+  if (ext[2] > ext[axis]) axis = 2;
+  int mid = lo + count / 2;
+  std::nth_element(
+      c.prim.begin() + lo, c.prim.begin() + mid, c.prim.begin() + hi,
+      [&](int a, int b) { return c.cent[a * 3 + axis] < c.cent[b * 3 + axis]; });
+  cluster_rec(c, lo, mid, leaf_size, cluster_of, next_cluster);
+  cluster_rec(c, mid, hi, leaf_size, cluster_of, next_cluster);
+}
+
+int rt3_build_clusters(const float* bmin, const float* bmax, int n,
+                       int leaf_size, int* cluster_of) {
+  SahCtx c;
+  c.bmin = bmin; c.bmax = bmax; c.n = n;
+  c.cent.resize((size_t)n * 3);
+  for (int i = 0; i < n * 3; ++i) c.cent[i] = 0.5f * (bmin[i] + bmax[i]);
+  c.prim.resize(n);
+  for (int i = 0; i < n; ++i) c.prim[i] = i;
+  int next_cluster = 0;
+  cluster_rec(c, 0, n, leaf_size, cluster_of, &next_cluster);
+  return next_cluster;
+}
+
+}  // extern "C"

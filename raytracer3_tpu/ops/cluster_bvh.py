@@ -50,31 +50,57 @@ class ClusterBVH(NamedTuple):
     num_clusters: int
 
 
-def _build_clusters(v0, v1, v2, leaf_size: int):
-    """Morton-sort triangles, group into fixed-size clusters."""
+def _build_clusters(v0, v1, v2, leaf_size: int, use_sah: bool = True):
+    """Group triangles into clusters of <= leaf_size: SAH median splits via
+    the native library when available (tighter boxes), else Morton blocks."""
     t = v0.shape[0]
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
-    centroid = (tri_min + tri_max) * 0.5
-    smin = tri_min.min(0)
-    ext = np.maximum(tri_max.max(0) - smin, 1e-9)
-    norm = (centroid - smin) / ext
-    q = np.clip(norm * 1024.0, 0, 1023).astype(np.uint64)
 
-    def explode(x):
-        x = x & np.uint64(0x3FF)
-        x = (x | (x << np.uint64(16))) & np.uint64(0x030000FF)
-        x = (x | (x << np.uint64(8))) & np.uint64(0x0300F00F)
-        x = (x | (x << np.uint64(4))) & np.uint64(0x030C30C3)
-        x = (x | (x << np.uint64(2))) & np.uint64(0x09249249)
-        return x
+    order_p = None
+    if use_sah:
+        from raytracer3_tpu import native
 
-    codes = (explode(q[:, 0]) << np.uint64(2)) | (explode(q[:, 1]) << np.uint64(1)) | explode(q[:, 2])
-    order = np.argsort(codes, kind="stable").astype(np.int64)
+        res = native.build_clusters(tri_min, tri_max, leaf_size)
+        if res is not None:
+            cluster_of, c = res
+            # Group triangle ids by cluster, pad each cluster to leaf_size.
+            order = np.argsort(cluster_of, kind="stable").astype(np.int64)
+            sizes = np.bincount(cluster_of, minlength=c)
+            order_p = np.full((c, leaf_size), -1, np.int64)
+            pos = 0
+            for ci in range(c):
+                k = sizes[ci]
+                order_p[ci, :k] = order[pos : pos + k]
+                pos += k
+            order_p = order_p.reshape(-1)
 
-    c = (t + leaf_size - 1) // leaf_size
-    pad = c * leaf_size - t
-    order_p = np.concatenate([order, np.full(pad, -1, np.int64)])
+    if order_p is None:
+        centroid = (tri_min + tri_max) * 0.5
+        smin = tri_min.min(0)
+        ext = np.maximum(tri_max.max(0) - smin, 1e-9)
+        norm = (centroid - smin) / ext
+        q = np.clip(norm * 1024.0, 0, 1023).astype(np.uint64)
+
+        def explode(x):
+            x = x & np.uint64(0x3FF)
+            x = (x | (x << np.uint64(16))) & np.uint64(0x030000FF)
+            x = (x | (x << np.uint64(8))) & np.uint64(0x0300F00F)
+            x = (x | (x << np.uint64(4))) & np.uint64(0x030C30C3)
+            x = (x | (x << np.uint64(2))) & np.uint64(0x09249249)
+            return x
+
+        codes = (
+            (explode(q[:, 0]) << np.uint64(2))
+            | (explode(q[:, 1]) << np.uint64(1))
+            | explode(q[:, 2])
+        )
+        order = np.argsort(codes, kind="stable").astype(np.int64)
+        c = (t + leaf_size - 1) // leaf_size
+        pad = c * leaf_size - t
+        order_p = np.concatenate([order, np.full(pad, -1, np.int64)])
+
+    c = len(order_p) // leaf_size
     tri_id = order_p.reshape(c, leaf_size).astype(np.int32)
 
     # Packed per-cluster triangle data (v0, e1, e2), degenerate for padding.
@@ -123,7 +149,13 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8) -> ClusterBVH:
             num_clusters=1,
         )
 
-    bvh = jax.jit(bvh_mod.build_lbvh_aabbs)(jnp.asarray(cmin), jnp.asarray(cmax))
+    # Binary BVH over cluster AABBs: native binned-SAH when available (better
+    # trees for static scenes), else the device LBVH.
+    from raytracer3_tpu import native
+
+    bvh = native.build_sah_bvh(cmin, cmax)
+    if bvh is None:
+        bvh = jax.jit(bvh_mod.build_lbvh_aabbs)(jnp.asarray(cmin), jnp.asarray(cmax))
     bvh = jax.tree.map(np.asarray, bvh)
 
     # Collapse binary → 8-wide with one cluster per leaf (host).

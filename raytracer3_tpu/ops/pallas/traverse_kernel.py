@@ -1,0 +1,338 @@
+"""Pallas packet-traversal kernel: the speed-of-light path for BVH tracing.
+
+Hardware rationale (measured, see ops/cluster_bvh.py docstring): Mosaic has
+no fast per-lane gather, but *scalar* dynamic slices from VMEM are cheap and
+scalar control flow compiles to real branches. So rays are traced in
+**packets of 1024** (an [8, 128] register tile per component): the packet
+shares one traversal stack in SMEM (scalar ints), each popped node is fetched
+with a scalar dynamic slice, its 8 child boxes are tested against all 1024
+rays as dense [8, 128] vector math, and a child is pushed if *any* ray wants
+it. Leaf clusters branch (scalar predicate → genuinely skipped when no ray
+hits) into 8 Möller–Trumbore tests broadcast across the packet.
+
+This is classic packet tracing (coherent rays share work; the packet visits
+the union of its rays' nodes), mapped onto the TPU's scalar-vs-vector split.
+Ray coherence is restored between bounces by the wavefront sorter
+(render/wavefront.py), mirroring the ray-reordering literature in PAPERS.md.
+
+Tables come from ops/cluster_bvh.build_cluster_bvh; cluster rows are repacked
+to carry triangle ids in their padding lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer3_tpu.ops import cluster_bvh as cb_mod
+from raytracer3_tpu.ops import intersect, mathx
+
+PACKET = 1024  # rays per packet: 8 sublanes × 128 lanes
+STACK = 64
+_BG = mathx.BACKGROUND_DEPTH
+
+
+class PacketTables(NamedTuple):
+    node_table: jax.Array  # [M, 64] f32 (cmin 24 | cmax 24 | codes 8 | pad)
+    cluster_table: jax.Array  # [C, 128] f32 (9L tri data | L tri ids | pad)
+    leaf_size: int
+    num_nodes: int
+    num_clusters: int
+
+
+def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
+    """Repack ClusterBVH for the kernel: cluster rows append triangle ids."""
+    ls = cb.leaf_size
+    assert 9 * ls + ls <= 128, "leaf_size too large for 128-lane cluster rows"
+    ct = np.asarray(cb.cluster_table)
+    tids = np.asarray(cb.tri_id).astype(np.float32)
+    rows = np.zeros((ct.shape[0], 128), np.float32)
+    rows[:, : 9 * ls] = ct[:, : 9 * ls]
+    rows[:, 9 * ls : 9 * ls + ls] = tids
+    return PacketTables(
+        node_table=cb.node_table,
+        cluster_table=jnp.asarray(rows),
+        leaf_size=ls,
+        num_nodes=cb.num_nodes,
+        num_clusters=cb.num_clusters,
+    )
+
+
+def _kernel(
+    rays_ref,  # [1, 8, 8, 128]: attr (ox oy oz dx dy dz tmax unused)
+    nodes_ref,  # [M, 64]
+    clusters_ref,  # [C, 128]
+    out_ref,  # [1, 4, 8, 128]: t, u, v, prim_id(f32 bits)
+    *,
+    leaf_size: int,
+    any_hit: bool,
+    t_min: float,
+):
+    def scoped(stack_ref, sp_ref):
+        ox = rays_ref[0, 0]
+        oy = rays_ref[0, 1]
+        oz = rays_ref[0, 2]
+        dx = rays_ref[0, 3]
+        dy = rays_ref[0, 4]
+        dz = rays_ref[0, 5]
+        t_cap = rays_ref[0, 6]
+
+        eps = 1e-12
+        ix = 1.0 / jnp.where(jnp.abs(dx) < eps, eps, dx)
+        iy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
+        iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
+
+        stack_ref[0] = 0  # root
+        sp_ref[0] = 1
+
+        init = (
+            t_cap,  # best_t
+            jnp.zeros_like(ox),  # u
+            jnp.zeros_like(ox),  # v
+            jnp.full_like(ox, -1.0),  # prim id (float)
+        )
+
+        def cond(carry):
+            return sp_ref[0] > 0
+
+        def body(carry):
+            best_t, best_u, best_v, best_id = carry
+            sp = sp_ref[0] - 1
+            entry = stack_ref[sp]
+            sp_ref[0] = sp
+
+            def handle_node(carry):
+                best_t, best_u, best_v, best_id = carry
+                row = nodes_ref[entry]  # [64] via scalar dynamic index
+                new_carry = carry
+                # Pass 1: per-slot packet test → scalar (key, code) pairs.
+                slot_keys = []
+                slot_codes = []
+                slot_take = []
+                slot_leaf = []
+                for s in range(8):
+                    cminx = row[s * 3 + 0]
+                    cminy = row[s * 3 + 1]
+                    cminz = row[s * 3 + 2]
+                    cmaxx = row[24 + s * 3 + 0]
+                    cmaxy = row[24 + s * 3 + 1]
+                    cmaxz = row[24 + s * 3 + 2]
+                    code = row[48 + s]
+
+                    t0x = (cminx - ox) * ix
+                    t1x = (cmaxx - ox) * ix
+                    t0y = (cminy - oy) * iy
+                    t1y = (cmaxy - oy) * iy
+                    t0z = (cminz - oz) * iz
+                    t1z = (cmaxz - oz) * iz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+                    )
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), best_t),
+                    )
+                    hit_mask = tn <= tf
+                    hit_any = jnp.any(hit_mask)
+                    is_real = jnp.abs(code + 1.0) > 0.25
+                    # Packet-nearest entry distance for ordering.
+                    key = jnp.min(jnp.where(hit_mask, tn, jnp.inf))
+                    slot_keys.append(key)
+                    slot_codes.append(code)
+                    slot_take.append(hit_any & is_real)
+                    slot_leaf.append(code < -1.5)
+
+                # Scalar sort (descending key): push far-first so the nearest
+                # child pops first — packet-level near-first traversal.
+                keys = list(slot_keys)
+                codes_l = list(slot_codes)
+                takes = list(slot_take)
+                leafs = list(slot_leaf)
+                pairs = [
+                    (0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+                    (5, 7), (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6),
+                    (1, 4), (3, 6), (2, 4), (3, 5), (3, 4),
+                ]
+                for a, b in pairs:
+                    swap = keys[a] < keys[b]  # descending
+
+                    def pick(x, y):
+                        return jnp.where(swap, y, x), jnp.where(swap, x, y)
+
+                    keys[a], keys[b] = pick(keys[a], keys[b])
+                    codes_l[a], codes_l[b] = pick(codes_l[a], codes_l[b])
+                    takes[a], takes[b] = pick(takes[a], takes[b])
+                    leafs[a], leafs[b] = pick(leafs[a], leafs[b])
+
+                for s in range(8):
+                    code = codes_l[s]
+                    take = takes[s]
+                    is_leaf = leafs[s]
+
+                    def do_internal(code=code):
+                        s_now = sp_ref[0]
+                        stack_ref[s_now] = code.astype(jnp.int32)
+                        sp_ref[0] = jnp.minimum(s_now + 1, STACK - 1)
+
+                    def do_leaf(carry, code=code):
+                        best_t, best_u, best_v, best_id = carry
+                        cl = (-code - 2.0).astype(jnp.int32)
+                        crow = clusters_ref[cl]  # [128]
+                        for j in range(leaf_size):
+                            b = j * 9
+                            v0x, v0y, v0z = crow[b], crow[b + 1], crow[b + 2]
+                            e1x, e1y, e1z = crow[b + 3], crow[b + 4], crow[b + 5]
+                            e2x, e2y, e2z = crow[b + 6], crow[b + 7], crow[b + 8]
+                            tid = crow[9 * leaf_size + j]
+                            # pvec = d × e2
+                            px_ = dy * e2z - dz * e2y
+                            py_ = dz * e2x - dx * e2z
+                            pz_ = dx * e2y - dy * e2x
+                            det = e1x * px_ + e1y * py_ + e1z * pz_
+                            inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+                            tx = ox - v0x
+                            ty = oy - v0y
+                            tz = oz - v0z
+                            uu = (tx * px_ + ty * py_ + tz * pz_) * inv_det
+                            # qvec = tvec × e1
+                            qx = ty * e1z - tz * e1y
+                            qy = tz * e1x - tx * e1z
+                            qz = tx * e1y - ty * e1x
+                            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                            ok = (
+                                (jnp.abs(det) > 1e-9)
+                                & (uu >= 0.0)
+                                & (vv >= 0.0)
+                                & (uu + vv <= 1.0)
+                                & (tt > t_min)
+                                & (tt < best_t)
+                                & (tid >= 0.0)
+                            )
+                            best_t = jnp.where(ok, tt, best_t)
+                            best_u = jnp.where(ok, uu, best_u)
+                            best_v = jnp.where(ok, vv, best_v)
+                            best_id = jnp.where(ok, tid, best_id)
+                        return best_t, best_u, best_v, best_id
+
+                    # Scalar three-way: skip / push internal / test leaf.
+                    @pl.when(take & ~is_leaf)
+                    def _():
+                        do_internal()
+
+                    new_carry = jax.lax.cond(
+                        take & is_leaf,
+                        lambda c: do_leaf(c),
+                        lambda c: c,
+                        new_carry,
+                    )
+                    best_t = new_carry[0]
+                return new_carry
+
+            carry = jax.lax.cond(
+                entry >= 0,
+                handle_node,
+                lambda c: c,
+                (best_t, best_u, best_v, best_id),
+            )
+            if any_hit:
+                # Terminate the packet when every live ray is blocked
+                # (padding rays carry t_cap <= t_min and count as done).
+                done = (carry[3] >= 0.0) | (t_cap <= t_min)
+
+                @pl.when(jnp.all(done))
+                def _():
+                    sp_ref[0] = 0
+
+            return carry
+
+        best_t, best_u, best_v, best_id = jax.lax.while_loop(cond, body, init)
+        out_ref[0, 0] = best_t
+        out_ref[0, 1] = best_u
+        out_ref[0, 2] = best_v
+        out_ref[0, 3] = best_id
+
+    pl.run_scoped(
+        scoped,
+        pltpu.SMEM((STACK,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+    )
+
+
+def packet_intersect(
+    pt: PacketTables,
+    origins: jax.Array,
+    directions: jax.Array,
+    t_min: float = 1e-4,
+    t_max=_BG,
+    any_hit: bool = False,
+    interpret: bool = False,
+) -> intersect.Hit:
+    """Trace rays [N, 3] through the packet kernel. N is padded to a multiple
+    of PACKET; callers should order rays coherently (tiles / sorted queues)."""
+    n = origins.shape[0]
+    g = (n + PACKET - 1) // PACKET
+    pad = g * PACKET - n
+
+    t_cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    o = jnp.pad(origins, ((0, pad), (0, 0)))
+    d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
+    tc = jnp.pad(t_cap, (0, pad))  # zero t_cap → padding rays never hit
+
+    rays = jnp.stack(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tc, tc], axis=0
+    )  # [8, G*PACKET]
+    rays = rays.reshape(8, g, 8, 128).transpose(1, 0, 2, 3)  # [G, 8, 8, 128]
+
+    kernel = functools.partial(
+        _kernel, leaf_size=pt.leaf_size, any_hit=any_hit, t_min=t_min
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, 4, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(rays, pt.node_table, pt.cluster_table)
+
+    out = out.transpose(1, 0, 2, 3).reshape(4, g * PACKET)[:, :n]
+    best_t, u, v, fid = out[0], out[1], out[2], out[3]
+    prim_id = fid.astype(jnp.int32)
+    found = prim_id >= 0
+    return intersect.Hit(
+        t=jnp.where(found, best_t, _BG),
+        uv=jnp.stack([u, v], axis=-1),
+        prim_id=prim_id,
+        hit=found,
+    )
+
+
+def make_packet_backend(scene, leaf_size: int = 8, interpret: bool = False):
+    """Scene → (intersect_fn, occluded_fn, PacketTables)."""
+    v0, v1, v2 = scene.tri_vertices()
+    cb = cb_mod.build_cluster_bvh(v0, v1, v2, leaf_size)
+    pt = pack_tables(cb)
+
+    def isect(o, d):
+        return packet_intersect(pt, o, d, interpret=interpret)
+
+    def occl(o, d, tmax):
+        return packet_intersect(
+            pt, o, d, t_max=tmax, any_hit=True, interpret=interpret
+        ).hit
+
+    return isect, occl, pt
