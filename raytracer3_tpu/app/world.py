@@ -1,0 +1,154 @@
+"""World: entity/component scene host — the Bevy ECS analog (src/main.rs App
+assembly + src/renderer/world systems).
+
+The reference drives its renderer from an ECS: entities carry Instance +
+Transform components, startup systems create the world's GPU state, and
+update systems upload newly-loaded meshes and enqueue instances
+(world/mod.rs:50-101,127-178). A TPU renderer needs none of Bevy's scheduling
+machinery — but it does need the same *lifecycle*: register meshes, spawn
+instances with transforms, edit transforms, and have the device scene + BVH
+rebuilt exactly when structure changed. ``World`` provides that: a thin
+entity registry over scene/pools.GeometryPool with lazy device (re)build.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from raytracer3_tpu.scene import pools as pools_mod
+from raytracer3_tpu.scene import types as scene_types
+
+
+@dataclasses.dataclass
+class Entity:
+    entity_id: int
+    instance_id: Optional[int] = None  # pool instance (renderable)
+    name: str = ""
+
+
+class World:
+    def __init__(self):
+        self.pool = pools_mod.GeometryPool()
+        self._entities: Dict[int, Entity] = {}
+        self._next_entity = 0
+        # Material table shared across meshes (the bindless material heap).
+        self._materials = dict(
+            base_color=[], emission=[], metallic=[], roughness=[]
+        )
+        self._built_version = -1
+        self._scene = None
+        self._backend = None
+        self.env_map: Optional[np.ndarray] = None
+
+    # -- materials -----------------------------------------------------------
+
+    def add_material(
+        self, base_color=(0.8, 0.8, 0.8, 1.0), emission=(0.0, 0.0, 0.0),
+        metallic=0.0, roughness=1.0,
+    ) -> int:
+        self._materials["base_color"].append(np.asarray(base_color, np.float32))
+        self._materials["emission"].append(np.asarray(emission, np.float32))
+        self._materials["metallic"].append(np.float32(metallic))
+        self._materials["roughness"].append(np.float32(roughness))
+        return len(self._materials["base_color"]) - 1
+
+    # -- meshes / entities (spawn analog, main.rs:77-83) ---------------------
+
+    def add_mesh(self, positions, normals, uvs, indices, geo_id) -> pools_mod.MeshHandle:
+        return self.pool.add_mesh(positions, normals, uvs, indices, geo_id)
+
+    def add_mesh_data(self, md) -> pools_mod.MeshHandle:
+        """Register a gltf.MeshData; its material table is appended to the
+        world's and geo ids are rebased."""
+        base = len(self._materials["base_color"])
+        for i in range(len(md.base_color)):
+            self.add_material(
+                md.base_color[i], md.emission[i], md.metallic[i], md.roughness[i]
+            )
+        return self.add_mesh(
+            md.positions, md.normals, md.uvs, md.indices, md.geo_id + base
+        )
+
+    def spawn(self, mesh: pools_mod.MeshHandle, transform=None, name="") -> Entity:
+        iid = self.pool.add_instance(mesh, transform)
+        e = Entity(self._next_entity, instance_id=iid, name=name)
+        self._entities[e.entity_id] = e
+        self._next_entity += 1
+        return e
+
+    def set_transform(self, entity: Entity, transform: np.ndarray):
+        assert entity.instance_id is not None
+        self.pool.set_transform(entity.instance_id, transform)
+
+    def despawn(self, entity: Entity):
+        if entity.instance_id is not None:
+            self.pool.remove_instance(entity.instance_id)
+        del self._entities[entity.entity_id]
+
+    # -- device build (init_world/loaded_assets analog) -----------------------
+
+    @property
+    def dirty(self) -> bool:
+        return self.pool.version != self._built_version
+
+    def scene(self) -> scene_types.Scene:
+        """Device scene, rebuilt lazily when structure changed."""
+        if self.dirty or self._scene is None:
+            flat = self.pool.flatten()
+            self._scene = scene_types.make_scene(
+                positions=flat["positions"],
+                normals=flat["normals"],
+                uvs=flat["uvs"],
+                indices=flat["indices"],
+                geo_id=flat["geo_id"],
+                base_color=np.stack(self._materials["base_color"]),
+                emission=np.stack(self._materials["emission"]),
+                metallic=np.asarray(self._materials["metallic"]),
+                roughness=np.asarray(self._materials["roughness"]),
+                env_map=self.env_map,
+            )
+            self._backend = None
+            self._built_version = self.pool.version
+        return self._scene
+
+    def backend(self, kind: str = "auto", **kw):
+        """(intersect_fn, occluded_fn) for the current scene; rebuilt with it.
+
+        kind: 'auto' (packet on TPU, brute force on CPU), 'packet',
+        'cluster', 'bvh', 'brute'."""
+        if self._backend is not None and not self.dirty:
+            return self._backend
+        scene = self.scene()
+        import jax
+
+        if kind == "auto":
+            kind = "packet" if jax.default_backend() == "tpu" else "brute"
+        if kind == "packet":
+            from raytracer3_tpu.ops.pallas import traverse_kernel as tk
+
+            isect, occl, _ = tk.make_packet_backend(scene, **kw)
+        elif kind == "cluster":
+            from raytracer3_tpu.ops import cluster_bvh
+
+            isect, occl, _ = cluster_bvh.make_cluster_backend(scene, **kw)
+        elif kind == "bvh":
+            from raytracer3_tpu.ops import traverse
+
+            isect, occl, _ = traverse.make_bvh_backend(scene)
+        elif kind == "brute":
+            from raytracer3_tpu.ops import intersect as isect_mod
+
+            v0, v1, v2 = scene.tri_vertices()
+
+            def isect(o, d):
+                return isect_mod.intersect_bruteforce(o, d, v0, v1, v2)
+
+            def occl(o, d, tmax):
+                return isect_mod.occluded_bruteforce(o, d, v0, v1, v2, t_max=tmax)
+        else:
+            raise ValueError(f"unknown backend kind {kind!r}")
+        self._backend = (isect, occl)
+        return self._backend

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracer3_tpu.ops import cluster_bvh as cb_mod
 from raytracer3_tpu.ops import intersect, mathx
 
-PACKET = 1024  # rays per packet: 8 sublanes × 128 lanes
+PACKET_SUBLANES = 8  # default sublane rows per packet (8 × 128 = 1024 rays)
 STACK = 64
 _BG = mathx.BACKGROUND_DEPTH
 
@@ -274,12 +274,14 @@ def packet_intersect(
     t_max=_BG,
     any_hit: bool = False,
     interpret: bool = False,
+    sublanes: int = PACKET_SUBLANES,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the packet kernel. N is padded to a multiple
     of PACKET; callers should order rays coherently (tiles / sorted queues)."""
     n = origins.shape[0]
-    g = (n + PACKET - 1) // PACKET
-    pad = g * PACKET - n
+    packet = sublanes * 128
+    g = (n + packet - 1) // packet
+    pad = g * packet - n
 
     t_cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     o = jnp.pad(origins, ((0, pad), (0, 0)))
@@ -288,8 +290,8 @@ def packet_intersect(
 
     rays = jnp.stack(
         [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tc, tc], axis=0
-    )  # [8, G*PACKET]
-    rays = rays.reshape(8, g, 8, 128).transpose(1, 0, 2, 3)  # [G, 8, 8, 128]
+    )  # [8, G*packet]
+    rays = rays.reshape(8, g, sublanes, 128).transpose(1, 0, 2, 3)
 
     kernel = functools.partial(
         _kernel, leaf_size=pt.leaf_size, any_hit=any_hit, t_min=t_min
@@ -298,18 +300,18 @@ def packet_intersect(
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 8, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, sublanes, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, 4, sublanes, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((g, 4, 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, 4, sublanes, 128), jnp.float32),
         interpret=interpret,
     )(rays, pt.node_table, pt.cluster_table)
 
-    out = out.transpose(1, 0, 2, 3).reshape(4, g * PACKET)[:, :n]
+    out = out.transpose(1, 0, 2, 3).reshape(4, g * packet)[:, :n]
     best_t, u, v, fid = out[0], out[1], out[2], out[3]
     prim_id = fid.astype(jnp.int32)
     found = prim_id >= 0
@@ -321,18 +323,22 @@ def packet_intersect(
     )
 
 
-def make_packet_backend(scene, leaf_size: int = 8, interpret: bool = False):
+def make_packet_backend(
+    scene, leaf_size: int = 8, interpret: bool = False,
+    sublanes: int = PACKET_SUBLANES,
+):
     """Scene → (intersect_fn, occluded_fn, PacketTables)."""
     v0, v1, v2 = scene.tri_vertices()
     cb = cb_mod.build_cluster_bvh(v0, v1, v2, leaf_size)
     pt = pack_tables(cb)
 
     def isect(o, d):
-        return packet_intersect(pt, o, d, interpret=interpret)
+        return packet_intersect(pt, o, d, interpret=interpret, sublanes=sublanes)
 
     def occl(o, d, tmax):
         return packet_intersect(
-            pt, o, d, t_max=tmax, any_hit=True, interpret=interpret
+            pt, o, d, t_max=tmax, any_hit=True, interpret=interpret,
+            sublanes=sublanes,
         ).hit
 
     return isect, occl, pt

@@ -45,17 +45,31 @@ class RayQueue(NamedTuple):
 
 
 def _sort_key(q: RayQueue) -> jax.Array:
-    """Coherence sort key: alive rays first, then by direction octant, then by
-    hit primitive (so rays shading the same geometry neighbor each other)."""
+    """Coherence sort key: alive rays first, then direction octant, then a
+    Morton code of the hit position — packs spatially/directionally coherent
+    rays into the same traversal packet (the ray-reordering technique)."""
     d = q.direction
     octant = (
         (d[:, 0] >= 0).astype(jnp.int32)
         + 2 * (d[:, 1] >= 0).astype(jnp.int32)
         + 4 * (d[:, 2] >= 0).astype(jnp.int32)
     )
-    prim = jnp.clip(q.prim_id, 0, (1 << 20) - 1)
+    p = q.origin + q.depth[:, None] * q.direction
+    lo = jnp.min(p, axis=0)
+    hi = jnp.max(p, axis=0)
+    norm = (p - lo) / jnp.maximum(hi - lo, 1e-6)
+    # 18-bit Morton (6 bits/axis) is plenty for packet grouping.
+    qz = jnp.clip(norm * 63.0, 0, 63).astype(jnp.int32)
+    morton = jnp.zeros(p.shape[0], jnp.int32)
+    for b in range(6):
+        morton = (
+            morton
+            | (((qz[:, 0] >> b) & 1) << (3 * b + 2))
+            | (((qz[:, 1] >> b) & 1) << (3 * b + 1))
+            | (((qz[:, 2] >> b) & 1) << (3 * b))
+        )
     dead_penalty = jnp.where(q.alive, 0, 1 << 30)
-    return dead_penalty + (octant << 20) + prim
+    return dead_penalty + (octant << 18) + morton
 
 
 def _permute(q: RayQueue, perm: jax.Array) -> RayQueue:
