@@ -39,8 +39,8 @@ STACK_DEPTH = 32
 
 class ClusterBVH(NamedTuple):
     # Wide-node table, one row per node:
-    # [cmin(8×3) | cmax(8×3) | code(8)] = 56 floats, padded to 64.
-    node_table: jax.Array  # [M, 64] f32
+    # [cmin(w×3) | cmax(w×3) | code(w)], padded (64 lanes for w=8, 128 for w=16).
+    node_table: jax.Array  # [M, 64|128] f32
     # Per-cluster packed triangles: L × (v0(3) e1(3) e2(3)) = 9L floats,
     # padded to a multiple of 128 lanes.
     cluster_table: jax.Array  # [C, ceil(9L/128)*128] f32
@@ -48,6 +48,7 @@ class ClusterBVH(NamedTuple):
     leaf_size: int
     num_nodes: int
     num_clusters: int
+    width: int = 8
 
 
 def _build_clusters(v0, v1, v2, leaf_size: int, use_sah: bool = True):
@@ -121,7 +122,7 @@ def _build_clusters(v0, v1, v2, leaf_size: int, use_sah: bool = True):
     return packed.astype(np.float32), tri_id, cmin.astype(np.float32), cmax.astype(np.float32)
 
 
-def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8) -> ClusterBVH:
+def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8, width: int = 8) -> ClusterBVH:
     """Host+device build: clusters (host) → LBVH over cluster AABBs (device)
     → wide collapse (host) → packed tables."""
     v0 = np.asarray(v0, np.float32)
@@ -147,6 +148,7 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8) -> ClusterBVH:
             leaf_size=leaf_size,
             num_nodes=1,
             num_clusters=1,
+            width=8,  # single-node trees always use the 8-slot layout
         )
 
     # Binary BVH over cluster AABBs: native binned-SAH when available (better
@@ -165,6 +167,7 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8) -> ClusterBVH:
         bvh,
         jnp.asarray(cmin), jnp.asarray(cmin), jnp.asarray(cmax),  # verts unused beyond AABBs
         leaf_size=1,
+        width=width,
     )
     child_min = np.asarray(wb.child_min)
     child_max = np.asarray(wb.child_max)
@@ -181,13 +184,15 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8) -> ClusterBVH:
         start = bits >> 4
         codes[leaf_mask] = -(cluster_order[start].astype(np.float64)) - 2.0
 
-    table = np.zeros((m, 64), np.float32)
+    # Row layout: cmin(3w) | cmax(3w) | codes(w), padded to a lane multiple.
+    row_len = 64 if width == 8 else ((7 * width + 127) // 128) * 128
+    table = np.zeros((m, row_len), np.float32)
     # One-hot matmul fetch requires finite table entries (0 × inf = NaN would
     # poison whole columns); empty slots use an inverted big-finite box.
     big = np.float32(1e30)
-    table[:, 0:24] = np.clip(child_min.reshape(m, 24), -big, big)
-    table[:, 24:48] = np.clip(child_max.reshape(m, 24), -big, big)
-    table[:, 48:56] = codes.astype(np.float32)
+    table[:, 0 : 3 * width] = np.clip(child_min.reshape(m, 3 * width), -big, big)
+    table[:, 3 * width : 6 * width] = np.clip(child_max.reshape(m, 3 * width), -big, big)
+    table[:, 6 * width : 7 * width] = codes.astype(np.float32)
     return ClusterBVH(
         node_table=jnp.asarray(table),
         cluster_table=jnp.asarray(packed),
@@ -195,6 +200,7 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8) -> ClusterBVH:
         leaf_size=leaf_size,
         num_nodes=m,
         num_clusters=c,
+        width=width,
     )
 
 

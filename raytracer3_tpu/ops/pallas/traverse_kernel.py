@@ -33,17 +33,35 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracer3_tpu.ops import cluster_bvh as cb_mod
 from raytracer3_tpu.ops import intersect, mathx
 
-PACKET_SUBLANES = 8  # default sublane rows per packet (8 × 128 = 1024 rays)
+PACKET_SUBLANES = 64  # default sublane rows per packet (64 × 128 = 8192 rays;
+# measured on v5e: bigger packets amortize the scalar per-node overhead)
 STACK = 64
 _BG = mathx.BACKGROUND_DEPTH
 
 
+def _sort_network(n: int):
+    """Batcher odd-even mergesort compare-exchange pairs for n a power of 2."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
+
 class PacketTables(NamedTuple):
-    node_table: jax.Array  # [M, 64] f32 (cmin 24 | cmax 24 | codes 8 | pad)
+    node_table: jax.Array  # [M, *] f32 (cmin 3w | cmax 3w | codes w | pad)
     cluster_table: jax.Array  # [C, 128] f32 (9L tri data | L tri ids | pad)
     leaf_size: int
     num_nodes: int
     num_clusters: int
+    width: int = 8
 
 
 def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
@@ -61,6 +79,7 @@ def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
         leaf_size=ls,
         num_nodes=cb.num_nodes,
         num_clusters=cb.num_clusters,
+        width=cb.width,
     )
 
 
@@ -73,6 +92,7 @@ def _kernel(
     leaf_size: int,
     any_hit: bool,
     t_min: float,
+    width: int = 8,
 ):
     def scoped(stack_ref, sp_ref):
         ox = rays_ref[0, 0]
@@ -116,14 +136,14 @@ def _kernel(
                 slot_codes = []
                 slot_take = []
                 slot_leaf = []
-                for s in range(8):
+                for s in range(width):
                     cminx = row[s * 3 + 0]
                     cminy = row[s * 3 + 1]
                     cminz = row[s * 3 + 2]
-                    cmaxx = row[24 + s * 3 + 0]
-                    cmaxy = row[24 + s * 3 + 1]
-                    cmaxz = row[24 + s * 3 + 2]
-                    code = row[48 + s]
+                    cmaxx = row[3 * width + s * 3 + 0]
+                    cmaxy = row[3 * width + s * 3 + 1]
+                    cmaxz = row[3 * width + s * 3 + 2]
+                    code = row[6 * width + s]
 
                     t0x = (cminx - ox) * ix
                     t1x = (cmaxx - ox) * ix
@@ -151,27 +171,24 @@ def _kernel(
 
                 # Scalar sort (descending key): push far-first so the nearest
                 # child pops first — packet-level near-first traversal.
+                # Any-hit (shadow) queries skip it: ordering buys nothing.
                 keys = list(slot_keys)
                 codes_l = list(slot_codes)
                 takes = list(slot_take)
                 leafs = list(slot_leaf)
-                pairs = [
-                    (0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
-                    (5, 7), (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6),
-                    (1, 4), (3, 6), (2, 4), (3, 5), (3, 4),
-                ]
-                for a, b in pairs:
-                    swap = keys[a] < keys[b]  # descending
+                if not any_hit:
+                    for a, b in _sort_network(width):
+                        swap = keys[a] < keys[b]  # descending
 
-                    def pick(x, y):
-                        return jnp.where(swap, y, x), jnp.where(swap, x, y)
+                        def pick(x, y):
+                            return jnp.where(swap, y, x), jnp.where(swap, x, y)
 
-                    keys[a], keys[b] = pick(keys[a], keys[b])
-                    codes_l[a], codes_l[b] = pick(codes_l[a], codes_l[b])
-                    takes[a], takes[b] = pick(takes[a], takes[b])
-                    leafs[a], leafs[b] = pick(leafs[a], leafs[b])
+                        keys[a], keys[b] = pick(keys[a], keys[b])
+                        codes_l[a], codes_l[b] = pick(codes_l[a], codes_l[b])
+                        takes[a], takes[b] = pick(takes[a], takes[b])
+                        leafs[a], leafs[b] = pick(leafs[a], leafs[b])
 
-                for s in range(8):
+                for s in range(width):
                     code = codes_l[s]
                     take = takes[s]
                     is_leaf = leafs[s]
@@ -294,7 +311,8 @@ def packet_intersect(
     rays = rays.reshape(8, g, sublanes, 128).transpose(1, 0, 2, 3)
 
     kernel = functools.partial(
-        _kernel, leaf_size=pt.leaf_size, any_hit=any_hit, t_min=t_min
+        _kernel, leaf_size=pt.leaf_size, any_hit=any_hit, t_min=t_min,
+        width=pt.width,
     )
     out = pl.pallas_call(
         kernel,
@@ -324,12 +342,12 @@ def packet_intersect(
 
 
 def make_packet_backend(
-    scene, leaf_size: int = 8, interpret: bool = False,
-    sublanes: int = PACKET_SUBLANES,
+    scene, leaf_size: int = 12, interpret: bool = False,
+    sublanes: int = PACKET_SUBLANES, width: int = 16,
 ):
     """Scene → (intersect_fn, occluded_fn, PacketTables)."""
     v0, v1, v2 = scene.tri_vertices()
-    cb = cb_mod.build_cluster_bvh(v0, v1, v2, leaf_size)
+    cb = cb_mod.build_cluster_bvh(v0, v1, v2, leaf_size, width=width)
     pt = pack_tables(cb)
 
     def isect(o, d):

@@ -70,8 +70,8 @@ def _binary_ranges(left: np.ndarray, right: np.ndarray, t: int):
     return lo, hi
 
 
-def collapse(bvh: bvh_mod.BVH, v0, v1, v2, leaf_size: int = 4) -> WideBVH:
-    """Collapse a binary LBVH into an 8-wide BVH (host-side numpy)."""
+def collapse(bvh: bvh_mod.BVH, v0, v1, v2, leaf_size: int = 4, width: int = WIDTH) -> WideBVH:
+    """Collapse a binary LBVH into a `width`-ary BVH (host-side numpy)."""
     assert 1 <= leaf_size <= _LEAF_COUNT_MAX
     t = bvh.num_tris
     left = np.asarray(bvh.node_left)
@@ -103,7 +103,7 @@ def collapse(bvh: bvh_mod.BVH, v0, v1, v2, leaf_size: int = 4) -> WideBVH:
         w = wide_of_binary[b]
         # Gather up to 8 slots by splitting the largest internal child.
         slots = [left[b], right[b]] if b < t - 1 else [b]
-        while len(slots) < WIDTH:
+        while len(slots) < width:
             # find expandable slot: internal node with subtree > leaf_size
             best = -1
             best_sz = 0
@@ -127,9 +127,9 @@ def collapse(bvh: bvh_mod.BVH, v0, v1, v2, leaf_size: int = 4) -> WideBVH:
                     pending.append(sb)
 
     wn = len(wide_children)
-    child_min = np.full((wn, WIDTH, 3), np.inf, np.float32)
-    child_max = np.full((wn, WIDTH, 3), -np.inf, np.float32)
-    child_code = np.full((wn, WIDTH), -1, np.int32)
+    child_min = np.full((wn, width, 3), np.inf, np.float32)
+    child_max = np.full((wn, width, 3), -np.inf, np.float32)
+    child_code = np.full((wn, width), -1, np.int32)
 
     for b, w in wide_of_binary.items():
         for si, sb in enumerate(wide_children[w]):
