@@ -128,14 +128,13 @@ def _kernel(
             sp_ref[0] = sp
 
             def handle_node(carry):
-                best_t, best_u, best_v, best_id = carry
-                row = nodes_ref[entry]  # [64] via scalar dynamic index
-                new_carry = carry
-                # Pass 1: per-slot packet test → scalar (key, code) pairs.
-                slot_keys = []
+                # Expand an internal node: width AABB packet tests, order
+                # children near-first, push every taken child (leaf codes and
+                # internal ids share the stack; leaves are handled at pop).
+                row = nodes_ref[entry]  # scalar dynamic index
+                masked_tn = []
                 slot_codes = []
-                slot_take = []
-                slot_leaf = []
+                slot_real = []
                 for s in range(width):
                     cminx = row[s * 3 + 0]
                     cminy = row[s * 3 + 1]
@@ -157,25 +156,25 @@ def _kernel(
                     )
                     tf = jnp.minimum(
                         jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                        jnp.minimum(jnp.maximum(t0z, t1z), best_t),
+                        jnp.minimum(jnp.maximum(t0z, t1z), carry[0]),
                     )
-                    hit_mask = tn <= tf
-                    hit_any = jnp.any(hit_mask)
-                    is_real = jnp.abs(code + 1.0) > 0.25
-                    # Packet-nearest entry distance for ordering.
-                    key = jnp.min(jnp.where(hit_mask, tn, jnp.inf))
-                    slot_keys.append(key)
+                    masked_tn.append(jnp.where(tn <= tf, tn, jnp.inf))
                     slot_codes.append(code)
-                    slot_take.append(hit_any & is_real)
-                    slot_leaf.append(code < -1.5)
+                    slot_real.append(jnp.abs(code + 1.0) > 0.25)
+
+                # Per-slot packet stats via one sublane fold per slot + a
+                # single cross-lane reduction over the [width, 128] stack
+                # (cross-packet reductions are the scalar-side bottleneck).
+                folded = [jnp.min(m, axis=0) for m in masked_tn]
+                keys_vec = jnp.min(jnp.stack(folded), axis=1)  # [width]
+                keys = [keys_vec[s] for s in range(width)]
+                codes_l = list(slot_codes)
+                takes = [
+                    (keys[s] < jnp.inf) & slot_real[s] for s in range(width)
+                ]
 
                 # Scalar sort (descending key): push far-first so the nearest
-                # child pops first — packet-level near-first traversal.
-                # Any-hit (shadow) queries skip it: ordering buys nothing.
-                keys = list(slot_keys)
-                codes_l = list(slot_codes)
-                takes = list(slot_take)
-                leafs = list(slot_leaf)
+                # child pops first. Any-hit queries skip the ordering.
                 if not any_hit:
                     for a, b in _sort_network(width):
                         swap = keys[a] < keys[b]  # descending
@@ -186,77 +185,64 @@ def _kernel(
                         keys[a], keys[b] = pick(keys[a], keys[b])
                         codes_l[a], codes_l[b] = pick(codes_l[a], codes_l[b])
                         takes[a], takes[b] = pick(takes[a], takes[b])
-                        leafs[a], leafs[b] = pick(leafs[a], leafs[b])
 
                 for s in range(width):
                     code = codes_l[s]
                     take = takes[s]
-                    is_leaf = leafs[s]
 
-                    def do_internal(code=code):
+                    @pl.when(take)
+                    def _(code=code):
                         s_now = sp_ref[0]
                         stack_ref[s_now] = code.astype(jnp.int32)
                         sp_ref[0] = jnp.minimum(s_now + 1, STACK - 1)
 
-                    def do_leaf(carry, code=code):
-                        best_t, best_u, best_v, best_id = carry
-                        cl = (-code - 2.0).astype(jnp.int32)
-                        crow = clusters_ref[cl]  # [128]
-                        for j in range(leaf_size):
-                            b = j * 9
-                            v0x, v0y, v0z = crow[b], crow[b + 1], crow[b + 2]
-                            e1x, e1y, e1z = crow[b + 3], crow[b + 4], crow[b + 5]
-                            e2x, e2y, e2z = crow[b + 6], crow[b + 7], crow[b + 8]
-                            tid = crow[9 * leaf_size + j]
-                            # pvec = d × e2
-                            px_ = dy * e2z - dz * e2y
-                            py_ = dz * e2x - dx * e2z
-                            pz_ = dx * e2y - dy * e2x
-                            det = e1x * px_ + e1y * py_ + e1z * pz_
-                            inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-                            tx = ox - v0x
-                            ty = oy - v0y
-                            tz = oz - v0z
-                            uu = (tx * px_ + ty * py_ + tz * pz_) * inv_det
-                            # qvec = tvec × e1
-                            qx = ty * e1z - tz * e1y
-                            qy = tz * e1x - tx * e1z
-                            qz = tx * e1y - ty * e1x
-                            vv = (dx * qx + dy * qy + dz * qz) * inv_det
-                            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                            ok = (
-                                (jnp.abs(det) > 1e-9)
-                                & (uu >= 0.0)
-                                & (vv >= 0.0)
-                                & (uu + vv <= 1.0)
-                                & (tt > t_min)
-                                & (tt < best_t)
-                                & (tid >= 0.0)
-                            )
-                            best_t = jnp.where(ok, tt, best_t)
-                            best_u = jnp.where(ok, uu, best_u)
-                            best_v = jnp.where(ok, vv, best_v)
-                            best_id = jnp.where(ok, tid, best_id)
-                        return best_t, best_u, best_v, best_id
+                return carry
 
-                    # Scalar three-way: skip / push internal / test leaf.
-                    @pl.when(take & ~is_leaf)
-                    def _():
-                        do_internal()
-
-                    new_carry = jax.lax.cond(
-                        take & is_leaf,
-                        lambda c: do_leaf(c),
-                        lambda c: c,
-                        new_carry,
+            def handle_leaf(carry):
+                best_t, best_u, best_v, best_id = carry
+                cl = -entry - 2  # int32 leaf code
+                crow = clusters_ref[cl]  # [128]
+                for j in range(leaf_size):
+                    b = j * 9
+                    v0x, v0y, v0z = crow[b], crow[b + 1], crow[b + 2]
+                    e1x, e1y, e1z = crow[b + 3], crow[b + 4], crow[b + 5]
+                    e2x, e2y, e2z = crow[b + 6], crow[b + 7], crow[b + 8]
+                    tid = crow[9 * leaf_size + j]
+                    # pvec = d × e2
+                    px_ = dy * e2z - dz * e2y
+                    py_ = dz * e2x - dx * e2z
+                    pz_ = dx * e2y - dy * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    uu = (tx * px_ + ty * py_ + tz * pz_) * inv_det
+                    # qvec = tvec × e1
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (jnp.abs(det) > 1e-9)
+                        & (uu >= 0.0)
+                        & (vv >= 0.0)
+                        & (uu + vv <= 1.0)
+                        & (tt > t_min)
+                        & (tt < best_t)
+                        & (tid >= 0.0)
                     )
-                    best_t = new_carry[0]
-                return new_carry
+                    best_t = jnp.where(ok, tt, best_t)
+                    best_u = jnp.where(ok, uu, best_u)
+                    best_v = jnp.where(ok, vv, best_v)
+                    best_id = jnp.where(ok, tid, best_id)
+                return best_t, best_u, best_v, best_id
 
             carry = jax.lax.cond(
                 entry >= 0,
                 handle_node,
-                lambda c: c,
+                handle_leaf,
                 (best_t, best_u, best_v, best_id),
             )
             if any_hit:

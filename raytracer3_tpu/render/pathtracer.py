@@ -133,7 +133,7 @@ def trace_radiance(
                 u_l, sampler = sampler.next3()
                 li, sampler = _nee_contribution(
                     scene, occluded_fn, hit_pos, nrm, -ray_d, surface, u_l,
-                    sampler, settings,
+                    sampler, settings, alive_mask=alive,
                 )
                 sample_radiance = sample_radiance + jnp.where(
                     alive[:, None], throughput * li, 0.0
@@ -184,6 +184,7 @@ def _nee_contribution(
     u3: jax.Array,
     sampler: rng.Sampler,
     settings: RenderSettings,
+    alive_mask: jax.Array | None = None,
 ):
     """Sample one point on the emissive set (area-proportional), test
     visibility, MIS-weight against BRDF sampling."""
@@ -231,7 +232,12 @@ def _nee_contribution(
     g = scene.geo_id[tid]
     le = scene.materials.emission[g] * scene_types.EMISSION_SCALE
 
-    shadow_o = hit_pos + normal * 1e-3
+    # Lanes whose NEE sample is already invalid skip the shadow traversal
+    # (parked outside the scene → immediate miss in packet traversal).
+    pre_ok = valid_light & (cos_s > 0.0) & (cos_l > 1e-6) & (pdf_light > 0.0)
+    if alive_mask is not None:
+        pre_ok = pre_ok & alive_mask
+    shadow_o = jnp.where(pre_ok[:, None], hit_pos + normal * 1e-3, 1e30)
     blocked = occluded_fn(shadow_o, wi_world, dist[:, 0] * (1.0 - 1e-3))
 
     contrib = (
@@ -239,7 +245,7 @@ def _nee_contribution(
         * le
         * (cos_s * mis_w / jnp.maximum(pdf_light, 1e-20))[:, None]
     )
-    ok = valid_light & ~blocked & (cos_s > 0.0) & (cos_l > 1e-6) & (pdf_light > 0.0)
+    ok = pre_ok & ~blocked
     return jnp.where(ok[:, None], contrib, 0.0), sampler
 
 

@@ -1,0 +1,143 @@
+"""Prebuilt frame pipelines: the per-frame pass assembly the reference
+declares in its `commands` system (src/renderer/mod.rs:65-106) and the legacy
+probe pipeline (SURVEY.md §3.5), expressed through the frame graph.
+
+Each factory returns ``(step, init_state)`` where
+``step(state, cam, frame_index) -> (display, state)`` is one jitted frame.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytracer3_tpu.graph import FrameGraph
+from raytracer3_tpu.ops import rng as rng_mod
+from raytracer3_tpu.render import camera as camera_mod
+from raytracer3_tpu.render import film as film_mod
+from raytracer3_tpu.render import pathtracer, postprocess, probes, wavefront
+from raytracer3_tpu.utils.config import RenderSettings
+
+
+def wavefront_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_fn=None, sort_rays: bool = True):
+    """Production progressive path tracing: wavefront PT → film blend → AgX.
+
+    Graph form of the reference's active `commands` declaration: a "trace"
+    pass writing radiance, a "blend" pass folding it into the temporal film,
+    and a "post" pass producing the display image (the swapchain writer)."""
+    w, h = settings.width, settings.height
+    g = FrameGraph()
+    g.image("radiance", (h, w, 3))
+    g.temporal("film", (h, w, 3))
+    g.temporal("frame_count", ())
+    g.image("display", (h, w, 3))
+
+    def trace(r, cam, frame_index):
+        rad = wavefront.render_frame(
+            scene, cam, settings, frame_index, intersect_fn, occluded_fn,
+            sort_rays=sort_rays,
+        )
+        return {"radiance": rad}
+
+    def blend(r, cam, frame_index):
+        n = r["frame_count@prev"]
+        t = 1.0 / (n + 1.0)
+        return {
+            "film": r["film@prev"] + (r["radiance"] - r["film@prev"]) * t,
+            "frame_count": n + 1.0,
+        }
+
+    def post(r, cam, frame_index):
+        return {"display": postprocess.postprocess(r["film"])}
+
+    g.add_pass("trace", trace, writes=["radiance"])
+    g.add_pass(
+        "blend", blend,
+        reads=["radiance", "film@prev", "frame_count@prev"],
+        writes=["film", "frame_count"],
+    )
+    g.add_pass("post", post, reads=["film"], writes=["display"])
+    step = g.compile(output="display")
+    return step, g.init_state
+
+
+def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_fn=None, blendfactor: float = 0.15):
+    """The legacy probe pipeline (SURVEY.md §3.5): G-buffer → SIS →
+    trace_probes → SH conversion → interpolate → postprocess, with the probe
+    atlas as the temporal resource (prev_probe_atlas analog)."""
+    w, h = settings.width, settings.height
+    px, py = settings.probe_grid
+    r_ = settings.probe_res
+    g = FrameGraph()
+    g.temporal("probe_atlas", (py * r_, px * r_, 3))
+    g.temporal("probe_depth", (py * r_, px * r_))
+    g.image("light", (h, w, 3))
+    g.image("display", (h, w, 3))
+    g.image("sh", (py, px, 3, 9))
+
+    def gi(r, cam, frame_index):
+        prev = probes.ProbeState(
+            atlas=r["probe_atlas@prev"],
+            depth=r["probe_depth@prev"],
+            sh_coeffs=jnp.zeros((py, px, 3, 9), jnp.float32),
+        )
+        light, state, aux = probes.probe_gi_frame(
+            scene, intersect_fn, cam, prev, settings, frame_index,
+            blendfactor=blendfactor, occluded_fn=occluded_fn,
+        )
+        return {
+            "light": light,
+            "probe_atlas": state.atlas,
+            "probe_depth": state.depth,
+            "sh": state.sh_coeffs,
+        }
+
+    def post(r, cam, frame_index):
+        return {"display": postprocess.postprocess(r["light"])}
+
+    g.add_pass(
+        "probe_gi", gi,
+        reads=["probe_atlas@prev", "probe_depth@prev"],
+        writes=["light", "probe_atlas", "probe_depth", "sh"],
+    )
+    g.add_pass("post", post, reads=["light"], writes=["display"])
+    step = g.compile(output="display")
+    return step, g.init_state
+
+
+def reference_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_fn=None):
+    """Reference-mode ground-truth pipeline (old/refrence_mode.slang):
+    G-buffer → samples×bounces PT → progressive blend → AgX."""
+    w, h = settings.width, settings.height
+    g = FrameGraph()
+    g.image("radiance", (h, w, 3))
+    g.temporal("film", (h, w, 3))
+    g.temporal("frame_count", ())
+    g.image("display", (h, w, 3))
+
+    def trace(r, cam, frame_index):
+        rad = pathtracer.render_image(
+            scene, cam, settings, frame_index, intersect_fn, occluded_fn
+        )
+        return {"radiance": rad}
+
+    def blend(r, cam, frame_index):
+        n = r["frame_count@prev"]
+        t = 1.0 / (n + 1.0)
+        return {
+            "film": r["film@prev"] + (r["radiance"] - r["film@prev"]) * t,
+            "frame_count": n + 1.0,
+        }
+
+    def post(r, cam, frame_index):
+        return {"display": postprocess.postprocess(r["film"])}
+
+    g.add_pass("trace", trace, writes=["radiance"])
+    g.add_pass(
+        "blend", blend,
+        reads=["radiance", "film@prev", "frame_count@prev"],
+        writes=["film", "frame_count"],
+    )
+    g.add_pass("post", post, reads=["film"], writes=["display"])
+    step = g.compile(output="display")
+    return step, g.init_state

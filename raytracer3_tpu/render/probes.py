@@ -192,7 +192,7 @@ def trace_probes(
         u3, sampler = sampler.next3()
         li, sampler = pathtracer._nee_contribution(
             scene, occluded_fn, hit_pos, s_nrm, -ray_dir, surface, u3,
-            sampler, settings,
+            sampler, settings, alive_mask=h.hit,
         )
         radiance = radiance + li
     env = pathtracer._sample_env(scene, ray_dir)

@@ -125,7 +125,7 @@ def trace_wavefront(
             u_l, sampler = sampler.next3()
             li, sampler = pathtracer._nee_contribution(
                 scene, occluded_fn, hit_pos, nrm, -q.direction, surface, u_l,
-                sampler, settings,
+                sampler, settings, alive_mask=q.alive,
             )
             radiance = radiance + jnp.where(q.alive[:, None], q.throughput * li, 0.0)
 
@@ -157,8 +157,11 @@ def trace_wavefront(
         )
         alive = alive & survive
 
-        # Next hit.
-        h = intersect_fn(hit_pos, new_dir)
+        # Next hit. Dead lanes are parked far outside the scene so their
+        # packets fail the root AABB test immediately — with alive-first
+        # sorting, fully-dead packets cost one traversal iteration.
+        park = jnp.where(alive[:, None], hit_pos, 1e30)
+        h = intersect_fn(park, new_dir)
         env = pathtracer._sample_env(scene, new_dir)
         radiance = radiance + jnp.where(
             (alive & ~h.hit)[:, None], throughput * env, 0.0
