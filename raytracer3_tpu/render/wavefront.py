@@ -188,6 +188,24 @@ def trace_wavefront(
     return q
 
 
+def tiled_pixel_order(width: int, height: int, tile_w: int = 128, tile_h: int = 64) -> jax.Array:
+    """Pixel coords [N, 2] in tile-swizzled order: consecutive rays form
+    tile_w×tile_h screen tiles, so each fixed-size traversal packet gets a
+    tight primary-ray frustum instead of a thin full-width strip.
+
+    Computed host-side (numpy) at trace time — it's a compile-time constant."""
+    import numpy as np
+
+    txs = -(-width // tile_w)
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    x = xs.ravel()
+    y = ys.ravel()
+    tile = (y // tile_h) * txs + (x // tile_w)
+    within = (y % tile_h) * tile_w + (x % tile_w)
+    order = np.argsort(tile * (tile_w * tile_h) + within, kind="stable")
+    return jnp.asarray(np.stack([x[order], y[order]], axis=-1), jnp.int32)
+
+
 def render_frame(
     scene: scene_types.Scene,
     cam: camera_mod.Camera,
@@ -197,12 +215,16 @@ def render_frame(
     occluded_fn: Optional[pathtracer.OccludedFn] = None,
     sort_rays: bool = False,
     blue_noise: Optional[jax.Array] = None,
+    tile_primaries: bool = True,
 ) -> jax.Array:
     """One frame: primary rays → wavefront bounce loop → scatter to film
     [H, W, 3] raw radiance. Samples loop on the outside (decorrelated)."""
     w, h = settings.width, settings.height
     n = w * h
-    pix = camera_mod.pixel_grid(w, h)
+    if tile_primaries and (w % 128 == 0) and (h % 64 == 0):
+        pix = tiled_pixel_order(w, h)
+    else:
+        pix = camera_mod.pixel_grid(w, h)
 
     total = jnp.zeros((n, 3), jnp.float32)
     for s_i in range(settings.samples):
@@ -227,7 +249,7 @@ def render_frame(
             direction=d,
             throughput=jnp.ones((n, 3), jnp.float32),
             radiance=jnp.zeros((n, 3), jnp.float32),
-            pixel_id=jnp.arange(n, dtype=jnp.int32),
+            pixel_id=(pix[:, 1] * w + pix[:, 0]).astype(jnp.int32),
             alive=hit0.hit,
             prev_pdf=jnp.full((n,), 1e8, jnp.float32),
             depth=hit0.t,
