@@ -29,6 +29,9 @@ N_FRAMES = 4
 
 def main() -> None:
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
+    from raytracer3_tpu.utils import runtime
+
+    runtime.init_compilation_cache()
     from raytracer3_tpu.render import film as film_mod
     from raytracer3_tpu.render import wavefront
     from raytracer3_tpu.scene import procedural

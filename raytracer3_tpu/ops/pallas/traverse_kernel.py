@@ -93,8 +93,9 @@ def _kernel(
     any_hit: bool,
     t_min: float,
     width: int = 8,
+    use_masks: bool = False,
 ):
-    def scoped(stack_ref, sp_ref):
+    def scoped(stack_ref, sp_ref, mask_ref, child_mask_ref):
         ox = rays_ref[0, 0]
         oy = rays_ref[0, 1]
         oz = rays_ref[0, 2]
@@ -110,6 +111,8 @@ def _kernel(
 
         stack_ref[0] = 0  # root
         sp_ref[0] = 1
+        if use_masks:
+            mask_ref[0] = jnp.ones_like(ox)  # all rays active at the root
 
         init = (
             t_cap,  # best_t
@@ -125,6 +128,11 @@ def _kernel(
             best_t, best_u, best_v, best_id = carry
             sp = sp_ref[0] - 1
             entry = stack_ref[sp]
+            # Per-ray active mask recorded when this entry was pushed: only
+            # rays that hit the child's AABB participate in its subtree —
+            # the packet narrows hierarchically instead of scanning the tree
+            # with the full-union any-hit test.
+            active = (mask_ref[sp] > 0.5) if use_masks else True
             sp_ref[0] = sp
 
             def handle_node(carry):
@@ -158,7 +166,8 @@ def _kernel(
                         jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                         jnp.minimum(jnp.maximum(t0z, t1z), carry[0]),
                     )
-                    masked_tn.append(jnp.where(tn <= tf, tn, jnp.inf))
+                    hit_here = (tn <= tf) & active if use_masks else (tn <= tf)
+                    masked_tn.append(jnp.where(hit_here, tn, jnp.inf))
                     slot_codes.append(code)
                     slot_real.append(jnp.abs(code + 1.0) > 0.25)
 
@@ -172,6 +181,15 @@ def _kernel(
                 takes = [
                     (keys[s] < jnp.inf) & slot_real[s] for s in range(width)
                 ]
+                idxs = list(range(width))  # original slot of each sorted entry
+                # Child masks staged in scratch so pushes can copy them with
+                # a dynamic (sorted) slot index — Mosaic only supports
+                # dynamic indexing on refs, not values.
+                if use_masks:
+                    for s in range(width):
+                        child_mask_ref[s] = jnp.where(
+                            masked_tn[s] < jnp.inf, 1.0, 0.0
+                        )
 
                 # Scalar sort (descending key): push far-first so the nearest
                 # child pops first. Any-hit queries skip the ordering.
@@ -185,15 +203,21 @@ def _kernel(
                         keys[a], keys[b] = pick(keys[a], keys[b])
                         codes_l[a], codes_l[b] = pick(codes_l[a], codes_l[b])
                         takes[a], takes[b] = pick(takes[a], takes[b])
+                        ia = jnp.asarray(idxs[a], jnp.int32)
+                        ib = jnp.asarray(idxs[b], jnp.int32)
+                        idxs[a], idxs[b] = pick(ia, ib)
 
                 for s in range(width):
                     code = codes_l[s]
                     take = takes[s]
+                    orig = idxs[s]
 
                     @pl.when(take)
-                    def _(code=code):
+                    def _(code=code, orig=orig):
                         s_now = sp_ref[0]
                         stack_ref[s_now] = code.astype(jnp.int32)
+                        if use_masks:
+                            mask_ref[s_now] = child_mask_ref[orig]
                         sp_ref[0] = jnp.minimum(s_now + 1, STACK - 1)
 
                 return carry
@@ -225,7 +249,8 @@ def _kernel(
                     vv = (dx * qx + dy * qy + dz * qz) * inv_det
                     tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                     ok = (
-                        (jnp.abs(det) > 1e-9)
+                        (active if use_masks else (jnp.abs(det) > -1.0))
+                        & (jnp.abs(det) > 1e-9)
                         & (uu >= 0.0)
                         & (vv >= 0.0)
                         & (uu + vv <= 1.0)
@@ -262,10 +287,15 @@ def _kernel(
         out_ref[0, 2] = best_v
         out_ref[0, 3] = best_id
 
+    sublanes = rays_ref.shape[2]
+    mdepth = STACK if use_masks else 1
+    mw = width if use_masks else 1
     pl.run_scoped(
         scoped,
         pltpu.SMEM((STACK,), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
+        pltpu.VMEM((mdepth, sublanes, 128), jnp.float32),
+        pltpu.VMEM((mw, sublanes, 128), jnp.float32),
     )
 
 
@@ -278,6 +308,7 @@ def packet_intersect(
     any_hit: bool = False,
     interpret: bool = False,
     sublanes: int = PACKET_SUBLANES,
+    use_masks: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the packet kernel. N is padded to a multiple
     of PACKET; callers should order rays coherently (tiles / sorted queues)."""
@@ -298,7 +329,7 @@ def packet_intersect(
 
     kernel = functools.partial(
         _kernel, leaf_size=pt.leaf_size, any_hit=any_hit, t_min=t_min,
-        width=pt.width,
+        width=pt.width, use_masks=use_masks,
     )
     out = pl.pallas_call(
         kernel,
@@ -330,6 +361,7 @@ def packet_intersect(
 def make_packet_backend(
     scene, leaf_size: int = 12, interpret: bool = False,
     sublanes: int = PACKET_SUBLANES, width: int = 16,
+    use_masks: bool = False,
 ):
     """Scene → (intersect_fn, occluded_fn, PacketTables)."""
     v0, v1, v2 = scene.tri_vertices()
@@ -337,12 +369,15 @@ def make_packet_backend(
     pt = pack_tables(cb)
 
     def isect(o, d):
-        return packet_intersect(pt, o, d, interpret=interpret, sublanes=sublanes)
+        return packet_intersect(
+            pt, o, d, interpret=interpret, sublanes=sublanes,
+            use_masks=use_masks,
+        )
 
     def occl(o, d, tmax):
         return packet_intersect(
             pt, o, d, t_max=tmax, any_hit=True, interpret=interpret,
-            sublanes=sublanes,
+            sublanes=sublanes, use_masks=use_masks,
         ).hit
 
     return isect, occl, pt
