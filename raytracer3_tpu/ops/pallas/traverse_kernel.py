@@ -65,12 +65,13 @@ class PacketTables(NamedTuple):
 
 
 def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
-    """Repack ClusterBVH for the kernel: cluster rows append triangle ids."""
+    """Repack ClusterBVH for the kernel: cluster rows append triangle ids.
+    Row length is the lane-multiple that fits 9·L floats + L ids."""
     ls = cb.leaf_size
-    assert 9 * ls + ls <= 128, "leaf_size too large for 128-lane cluster rows"
+    row_len = ((9 * ls + ls + 127) // 128) * 128
     ct = np.asarray(cb.cluster_table)
     tids = np.asarray(cb.tri_id).astype(np.float32)
-    rows = np.zeros((ct.shape[0], 128), np.float32)
+    rows = np.zeros((ct.shape[0], row_len), np.float32)
     rows[:, : 9 * ls] = ct[:, : 9 * ls]
     rows[:, 9 * ls : 9 * ls + ls] = tids
     return PacketTables(
