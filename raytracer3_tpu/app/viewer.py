@@ -113,6 +113,7 @@ class Viewer:
         return display
 
     def drain(self):
+        disp = None
         while self._inflight:
             disp, t_submit = self._inflight.popleft()
             jax.block_until_ready(disp)

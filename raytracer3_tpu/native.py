@@ -43,7 +43,12 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and os.path.exists(_SRC):
+        stale = (
+            os.path.exists(_LIB_PATH)
+            and os.path.exists(_SRC)
+            and os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+        )
+        if (not os.path.exists(_LIB_PATH) or stale) and os.path.exists(_SRC):
             _build()
         if not os.path.exists(_LIB_PATH):
             return None

@@ -49,6 +49,26 @@ class ClusterBVH(NamedTuple):
     num_nodes: int
     num_clusters: int
     width: int = 8
+    # Exact tree depth (root = 1) measured at build; traversal stacks are
+    # sized (width-1)·depth + 1 so pushes can never overflow silently.
+    depth: int = 1
+
+
+def _host_tree_depth(codes: np.ndarray) -> int:
+    """BFS depth of the wide tree from its child-code table (host-side).
+    codes [M, width]: internal child = node id ≥ 0, leaf < -1, empty = -1."""
+    depth = 1
+    frontier = np.array([0], np.int64)
+    while frontier.size:
+        ch = codes[frontier].reshape(-1)
+        nxt = np.unique(ch[ch >= 0].astype(np.int64))
+        if nxt.size == 0:
+            break
+        frontier = nxt
+        depth += 1
+        if depth > 64:
+            raise ValueError("BVH deeper than 64 levels — build produced a cycle?")
+    return depth
 
 
 def _build_clusters(v0, v1, v2, leaf_size: int, use_sah: bool = True):
@@ -149,6 +169,7 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8, width: int = 8) -> Cluster
             num_nodes=1,
             num_clusters=1,
             width=8,  # single-node trees always use the 8-slot layout
+            depth=1,
         )
 
     # Binary BVH over cluster AABBs: native binned-SAH when available (better
@@ -193,6 +214,7 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8, width: int = 8) -> Cluster
     table[:, 0 : 3 * width] = np.clip(child_min.reshape(m, 3 * width), -big, big)
     table[:, 3 * width : 6 * width] = np.clip(child_max.reshape(m, 3 * width), -big, big)
     table[:, 6 * width : 7 * width] = codes.astype(np.float32)
+    depth = _host_tree_depth(codes.reshape(m, width))
     return ClusterBVH(
         node_table=jnp.asarray(table),
         cluster_table=jnp.asarray(packed),
@@ -201,6 +223,7 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8, width: int = 8) -> Cluster
         num_nodes=m,
         num_clusters=c,
         width=width,
+        depth=depth,
     )
 
 
@@ -236,11 +259,13 @@ def _stack_pop(stack: jax.Array, sp: jax.Array) -> jax.Array:
 
 
 def _stack_push(stack: jax.Array, sp: jax.Array, value: jax.Array, mask: jax.Array):
-    """Masked push without scatter: one-hot select write."""
+    """Masked push without scatter: one-hot select write. The pointer is
+    clamped to the stack depth so a (build-bug) overflow drops entries instead
+    of decoding garbage pops as the root and live-locking."""
     d = stack.shape[1]
     sel = (jnp.arange(d, dtype=jnp.int32)[None, :] == sp[:, None]) & mask[:, None]
     stack = jnp.where(sel, value[:, None], stack)
-    return stack, sp + mask.astype(jnp.int32)
+    return stack, jnp.minimum(sp + mask.astype(jnp.int32), d)
 
 
 def _round_table_conservative(table: jax.Array) -> jax.Array:
@@ -280,8 +305,11 @@ def cbvh_intersect(
 
     node_table = _round_table_conservative(cb.node_table)
 
+    # Exact worst case: every level on the path leaves ≤ width-1 siblings
+    # on the stack, +1 for the entry in flight.
+    stack_depth = max(STACK_DEPTH, (cb.width - 1) * cb.depth + 1)
     state = dict(
-        stack=jnp.zeros((n, STACK_DEPTH), jnp.float32),
+        stack=jnp.zeros((n, stack_depth), jnp.float32),
         sp=jnp.ones((n,), jnp.int32),  # root (code 0.0) pre-pushed
         best_t=t_max_arr,
         best_u=jnp.zeros((n,), jnp.float32),

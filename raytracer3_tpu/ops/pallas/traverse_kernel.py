@@ -62,6 +62,7 @@ class PacketTables(NamedTuple):
     num_nodes: int
     num_clusters: int
     width: int = 8
+    depth: int = 1  # tree depth (root = 1) — sizes the traversal stack
 
 
 def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
@@ -81,6 +82,7 @@ def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
         num_nodes=cb.num_nodes,
         num_clusters=cb.num_clusters,
         width=cb.width,
+        depth=cb.depth,
     )
 
 
@@ -95,8 +97,9 @@ def _kernel(
     t_min: float,
     width: int = 8,
     use_masks: bool = False,
+    stack: int = STACK,
 ):
-    def scoped(stack_ref, sp_ref, mask_ref, child_mask_ref):
+    def scoped(stack_ref, mask_ref, child_mask_ref):
         ox = rays_ref[0, 0]
         oy = rays_ref[0, 1]
         oz = rays_ref[0, 2]
@@ -111,11 +114,15 @@ def _kernel(
         iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
 
         stack_ref[0] = 0  # root
-        sp_ref[0] = 1
         if use_masks:
             mask_ref[0] = jnp.ones_like(ox)  # all rays active at the root
 
+        # The stack pointer travels in the while carry, NOT in SMEM: a loop
+        # condition reading a mutated ref never terminates in interpret mode,
+        # and a carried scalar also spares Mosaic one SMEM round-trip per
+        # iteration.
         init = (
+            jnp.int32(1),  # sp
             t_cap,  # best_t
             jnp.zeros_like(ox),  # u
             jnp.zeros_like(ox),  # v
@@ -123,23 +130,23 @@ def _kernel(
         )
 
         def cond(carry):
-            return sp_ref[0] > 0
+            return carry[0] > 0
 
         def body(carry):
-            best_t, best_u, best_v, best_id = carry
-            sp = sp_ref[0] - 1
+            sp, best_t, best_u, best_v, best_id = carry
+            sp = sp - 1
             entry = stack_ref[sp]
             # Per-ray active mask recorded when this entry was pushed: only
             # rays that hit the child's AABB participate in its subtree —
             # the packet narrows hierarchically instead of scanning the tree
             # with the full-union any-hit test.
             active = (mask_ref[sp] > 0.5) if use_masks else True
-            sp_ref[0] = sp
 
             def handle_node(carry):
                 # Expand an internal node: width AABB packet tests, order
                 # children near-first, push every taken child (leaf codes and
                 # internal ids share the stack; leaves are handled at pop).
+                sp, best_t, best_u, best_v, best_id = carry
                 row = nodes_ref[entry]  # scalar dynamic index
                 masked_tn = []
                 slot_codes = []
@@ -165,7 +172,7 @@ def _kernel(
                     )
                     tf = jnp.minimum(
                         jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                        jnp.minimum(jnp.maximum(t0z, t1z), carry[0]),
+                        jnp.minimum(jnp.maximum(t0z, t1z), best_t),
                     )
                     hit_here = (tn <= tf) & active if use_masks else (tn <= tf)
                     masked_tn.append(jnp.where(hit_here, tn, jnp.inf))
@@ -208,23 +215,28 @@ def _kernel(
                         ib = jnp.asarray(idxs[b], jnp.int32)
                         idxs[a], idxs[b] = pick(ia, ib)
 
+                # Compacted branch-free pushes: slot s lands at
+                # sp + (#takes before s), clamped to the (build-sized) stack.
+                pushed = jnp.int32(0)
                 for s in range(width):
                     code = codes_l[s]
                     take = takes[s]
                     orig = idxs[s]
+                    pos = jnp.minimum(sp + pushed, stack - 1)
 
                     @pl.when(take)
-                    def _(code=code, orig=orig):
-                        s_now = sp_ref[0]
-                        stack_ref[s_now] = code.astype(jnp.int32)
+                    def _(code=code, orig=orig, pos=pos):
+                        stack_ref[pos] = code.astype(jnp.int32)
                         if use_masks:
-                            mask_ref[s_now] = child_mask_ref[orig]
-                        sp_ref[0] = jnp.minimum(s_now + 1, STACK - 1)
+                            mask_ref[pos] = child_mask_ref[orig]
 
-                return carry
+                    pushed = pushed + take.astype(jnp.int32)
+
+                sp = jnp.minimum(sp + pushed, stack)
+                return sp, best_t, best_u, best_v, best_id
 
             def handle_leaf(carry):
-                best_t, best_u, best_v, best_id = carry
+                sp, best_t, best_u, best_v, best_id = carry
                 cl = -entry - 2  # int32 leaf code
                 crow = clusters_ref[cl]  # [128]
                 for j in range(leaf_size):
@@ -263,38 +275,36 @@ def _kernel(
                     best_u = jnp.where(ok, uu, best_u)
                     best_v = jnp.where(ok, vv, best_v)
                     best_id = jnp.where(ok, tid, best_id)
-                return best_t, best_u, best_v, best_id
+                return sp, best_t, best_u, best_v, best_id
 
             carry = jax.lax.cond(
                 entry >= 0,
                 handle_node,
                 handle_leaf,
-                (best_t, best_u, best_v, best_id),
+                (sp, best_t, best_u, best_v, best_id),
             )
             if any_hit:
                 # Terminate the packet when every live ray is blocked
                 # (padding rays carry t_cap <= t_min and count as done).
-                done = (carry[3] >= 0.0) | (t_cap <= t_min)
-
-                @pl.when(jnp.all(done))
-                def _():
-                    sp_ref[0] = 0
+                done = (carry[4] >= 0.0) | (t_cap <= t_min)
+                carry = (
+                    jnp.where(jnp.all(done), 0, carry[0]),
+                ) + carry[1:]
 
             return carry
 
-        best_t, best_u, best_v, best_id = jax.lax.while_loop(cond, body, init)
+        _, best_t, best_u, best_v, best_id = jax.lax.while_loop(cond, body, init)
         out_ref[0, 0] = best_t
         out_ref[0, 1] = best_u
         out_ref[0, 2] = best_v
         out_ref[0, 3] = best_id
 
     sublanes = rays_ref.shape[2]
-    mdepth = STACK if use_masks else 1
+    mdepth = stack if use_masks else 1
     mw = width if use_masks else 1
     pl.run_scoped(
         scoped,
-        pltpu.SMEM((STACK,), jnp.int32),
-        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SMEM((stack,), jnp.int32),
         pltpu.VMEM((mdepth, sublanes, 128), jnp.float32),
         pltpu.VMEM((mw, sublanes, 128), jnp.float32),
     )
@@ -328,9 +338,11 @@ def packet_intersect(
     )  # [8, G*packet]
     rays = rays.reshape(8, g, sublanes, 128).transpose(1, 0, 2, 3)
 
+    # Worst case ≤ (width-1) siblings left per level + the entry in flight.
+    stack = max(STACK, (pt.width - 1) * pt.depth + 1)
     kernel = functools.partial(
         _kernel, leaf_size=pt.leaf_size, any_hit=any_hit, t_min=t_min,
-        width=pt.width, use_masks=use_masks,
+        width=pt.width, use_masks=use_masks, stack=stack,
     )
     out = pl.pallas_call(
         kernel,

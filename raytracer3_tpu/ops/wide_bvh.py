@@ -255,7 +255,9 @@ def wbvh_intersect(
             push = valid_s[:, c]
             idx = jnp.where(push, sp, STACK_DEPTH)
             stack = stack.at[lanes, idx].set(codes_s[:, c], mode="drop")
-            sp = sp + push.astype(jnp.int32)
+            # Clamp so an overflowing push drops entries instead of letting
+            # later pops read out of range and decode as the root (live-lock).
+            sp = jnp.minimum(sp + push.astype(jnp.int32), STACK_DEPTH)
 
         if any_hit:
             sp = jnp.where(best_id >= 0, 0, sp)

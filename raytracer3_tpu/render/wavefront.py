@@ -55,8 +55,15 @@ def _sort_key(q: RayQueue) -> jax.Array:
         + 4 * (d[:, 2] >= 0).astype(jnp.int32)
     )
     p = q.origin + q.depth[:, None] * q.direction
-    lo = jnp.min(p, axis=0)
-    hi = jnp.max(p, axis=0)
+    # Bounds over *alive* lanes only: dead/missed lanes sit at
+    # origin + BACKGROUND_DEPTH·dir and would swamp the scene extent,
+    # collapsing every live ray into one Morton cell.
+    alive3 = q.alive[:, None]
+    lo = jnp.min(jnp.where(alive3, p, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(alive3, p, -jnp.inf), axis=0)
+    no_alive = ~jnp.isfinite(lo)
+    lo = jnp.where(no_alive, 0.0, lo)
+    hi = jnp.where(no_alive, 1.0, hi)
     norm = (p - lo) / jnp.maximum(hi - lo, 1e-6)
     # 18-bit Morton (6 bits/axis) is plenty for packet grouping.
     qz = jnp.clip(norm * 63.0, 0, 63).astype(jnp.int32)
@@ -262,10 +269,14 @@ def render_frame(
         radiance = q.radiance
         if settings.radiance_clamp > 0.0:
             radiance = jnp.minimum(radiance, settings.radiance_clamp)
-        # Primary misses → environment.
-        env = pathtracer._sample_env(scene, d)
-        radiance = jnp.where(hit0.hit[:, None], radiance, env)
-        # Scatter back to pixel order (identity unless sorted).
+        # Scatter path radiance through the queue's (possibly permuted)
+        # pixel_id; primary-miss lanes carried radiance 0 through the bounce
+        # loop, so adding env separately — in *original* pixel order, keyed by
+        # the unsorted hit0 — composes correctly whether or not the queue was
+        # coherence-sorted.
         total = total.at[q.pixel_id].add(radiance)
+        env = pathtracer._sample_env(scene, d)
+        pix_ids = (pix[:, 1] * w + pix[:, 0]).astype(jnp.int32)
+        total = total.at[pix_ids].add(jnp.where(~hit0.hit[:, None], env, 0.0))
 
     return (total / float(settings.samples)).reshape(h, w, 3)

@@ -75,9 +75,9 @@ def _parse_glb(data: bytes):
             gltf = json.loads(chunk)
         elif ctype == _CHUNK_BIN:
             bin_chunk = bytes(chunk)
-        off += 8 + clen + (-clen % 4 if ctype == _CHUNK_JSON else 0)
-        # chunks are 4-byte aligned; clen is already padded in practice
-        off += (-clen) % 4 if (clen % 4) and ctype == _CHUNK_BIN else 0
+        # Chunks are 4-byte aligned regardless of type — unknown chunk types
+        # must advance over their padding too or every later chunk misparses.
+        off += 8 + clen + (-clen) % 4
     if gltf is None:
         raise ValueError("GLB missing JSON chunk")
     return gltf, bin_chunk

@@ -21,3 +21,9 @@ jax.config.update("jax_platforms", "cpu")
 # Guard against accidental backend initialization before this point.
 assert jax.default_backend() == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+# Persistent compile cache: XLA-CPU compiles of renderer-sized programs take
+# minutes on this 1-core box; repeat runs must hit the disk cache.
+from raytracer3_tpu.utils import runtime  # noqa: E402
+
+runtime.init_compilation_cache()

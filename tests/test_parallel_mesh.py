@@ -1,0 +1,124 @@
+"""Multi-chip rendering tests on the virtual 8-device CPU mesh (conftest):
+tile sharding must be bit-compatible with single-device rendering, sample
+parallelism must equal the mean over decorrelated seeds, and the donated
+progressive step must preserve the film sharding (SURVEY.md §2.3 distributed
+row; the dryrun counterpart lives in __graft_entry__.dryrun_multichip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer3_tpu.ops import intersect, rng
+from raytracer3_tpu.parallel import mesh as pmesh
+from raytracer3_tpu.render import camera as camera_mod
+from raytracer3_tpu.render import pathtracer
+from raytracer3_tpu.scene import analytic
+from raytracer3_tpu.utils.config import RenderSettings
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = analytic.cornell_box()
+    cam = analytic.default_camera()
+    v0, v1, v2 = scene.tri_vertices()
+
+    def isect(o, d):
+        return intersect.intersect_bruteforce(o, d, v0, v1, v2)
+
+    def occl(o, d, tmax):
+        return intersect.occluded_bruteforce(o, d, v0, v1, v2, t_max=tmax)
+
+    settings = RenderSettings(
+        width=16, height=32, bounces=2, samples=1, diffuse_only=True
+    )
+    return scene, cam, settings, isect, occl
+
+
+def _reference_frame(scene, cam, settings, frame_index, isect, occl):
+    """Single-device computation identical to render_tiled's shard body."""
+    w, h = settings.width, settings.height
+    pix = camera_mod.pixel_grid(w, h)
+    sampler = rng.Sampler.from_pixels(pix, frame_index)
+    uj, sampler = sampler.next2()
+    o, d = camera_mod.primary_rays(cam, w, h, jitter=uj, pixel_xy=pix)
+    gbuf = pathtracer.trace_gbuffer(scene, isect, o, d)
+    radiance = pathtracer.trace_radiance(
+        scene, isect, o, d, gbuf, sampler, settings, occl
+    )
+    env = pathtracer._sample_env(scene, d)
+    return jnp.where(gbuf.hit[:, None], radiance, env).reshape(h, w, 3)
+
+
+class TestRenderTiled:
+    def test_matches_single_device(self, setup):
+        scene, cam, settings, isect, occl = setup
+        mesh = pmesh.make_render_mesh(jax.devices())
+        tiled = pmesh.render_tiled(
+            scene, cam, settings, jnp.uint32(0), isect, occl, mesh=mesh
+        )
+        ref = _reference_frame(scene, cam, settings, jnp.uint32(0), isect, occl)
+        # Per-pixel RNG is keyed on global pixel coords, so sharding the rows
+        # must not change a single sample.
+        np.testing.assert_allclose(
+            np.asarray(tiled), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+
+    def test_output_is_row_sharded(self, setup):
+        scene, cam, settings, isect, occl = setup
+        mesh = pmesh.make_render_mesh(jax.devices())
+        tiled = pmesh.render_tiled(
+            scene, cam, settings, jnp.uint32(0), isect, occl, mesh=mesh
+        )
+        shards = tiled.addressable_shards
+        assert len(shards) == len(jax.devices())
+        assert shards[0].data.shape[0] == settings.height // len(jax.devices())
+
+
+class TestSampleParallel:
+    def test_equals_seed_mean(self, setup):
+        scene, cam, settings, isect, occl = setup
+        devices = jax.devices()
+        mesh = pmesh.make_render_mesh(devices)
+        img = pmesh.render_sample_parallel(
+            scene, cam, settings, 3, isect, occl, mesh=mesh
+        )
+        n = len(devices)
+        frames = [
+            pathtracer.render_image(
+                scene, cam, settings,
+                jnp.uint32(3) * jnp.uint32(n) + jnp.uint32(i), isect, occl,
+            )
+            for i in range(n)
+        ]
+        ref = jnp.mean(jnp.stack(frames), axis=0)
+        np.testing.assert_allclose(
+            np.asarray(img), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestProgressiveStepTiled:
+    def test_sharding_preserved_and_mean_correct(self, setup):
+        scene, cam, settings, isect, occl = setup
+        mesh = pmesh.make_render_mesh(jax.devices())
+        step, init_film = pmesh.progressive_step_tiled(
+            scene, cam, settings, isect, occl, mesh=mesh
+        )
+        film = init_film()
+        sharding0 = film.accum.sharding
+        film = step(film, jnp.uint32(0))
+        film = step(film, jnp.uint32(1))
+        assert film.accum.sharding.is_equivalent_to(sharding0, film.accum.ndim)
+        assert int(film.frame_index) == 2
+
+        f0 = pmesh.render_tiled(
+            scene, cam, settings, jnp.uint32(0), isect, occl, mesh=mesh
+        )
+        f1 = pmesh.render_tiled(
+            scene, cam, settings, jnp.uint32(1), isect, occl, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(film.accum),
+            np.asarray((f0 + f1) * 0.5),
+            rtol=1e-5, atol=1e-6,
+        )

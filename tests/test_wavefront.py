@@ -8,7 +8,16 @@ import numpy as np
 import pytest
 
 from raytracer3_tpu.ops import intersect, traverse
+from raytracer3_tpu.render import camera as camera_mod
 from raytracer3_tpu.render import pathtracer, wavefront
+
+
+def camera_mod_primary(cam, res):
+    """Centered primary rays for a res×res grid (test helper)."""
+    pix = camera_mod.pixel_grid(res, res)
+    return camera_mod.primary_rays(
+        cam, res, res, jitter=jnp.full((res * res, 2), 0.5), pixel_xy=pix
+    )
 from raytracer3_tpu.scene import analytic
 from raytracer3_tpu.utils.config import RenderSettings
 
@@ -65,6 +74,50 @@ class TestWavefront:
         b = np.asarray(
             wavefront.render_frame(scene, cam, s, 5, isect, occl, sort_rays=True)
         )
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_sort_rays_with_primary_env_misses(self):
+        # Regression (ADVICE r1, high): with sort_rays=True the queue's
+        # pixel_id is permuted; primary-miss env light must still land on the
+        # *original* pixels. A floating quad in front of an equirect gradient
+        # gives plenty of primary misses.
+        from raytracer3_tpu.scene import types as scene_types
+        from raytracer3_tpu.render.camera import Camera
+
+        pos = np.array(
+            [[-0.6, 0.4, 2.0], [0.6, 0.4, 2.0], [0.6, 1.6, 2.0], [-0.6, 1.6, 2.0]],
+            np.float32,
+        )
+        nrm = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (4, 1))
+        uv = np.zeros((4, 2), np.float32)
+        idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        env = (
+            np.linspace(0.0, 1.0, 16 * 32 * 3, dtype=np.float32)
+            .reshape(16, 32, 3)
+        )
+        scene = scene_types.make_scene(
+            pos, nrm, uv, idx, np.zeros(2, np.int32),
+            base_color=np.array([[0.6, 0.5, 0.4]], np.float32),
+            emission=np.zeros((1, 3), np.float32),
+            metallic=np.zeros(1, np.float32),
+            roughness=np.ones(1, np.float32),
+            env_map=env,
+        )
+        cam = Camera.create(position=(0.0, 1.0, -1.0), aspect=1.0)
+        v0, v1, v2 = scene.tri_vertices()
+
+        def isect(o, d):
+            return intersect.intersect_bruteforce(o, d, v0, v1, v2)
+
+        s = RenderSettings(width=RES, height=RES, bounces=2, samples=1, diffuse_only=True)
+        a = np.asarray(wavefront.render_frame(scene, cam, s, 5, isect, sort_rays=False))
+        b = np.asarray(wavefront.render_frame(scene, cam, s, 5, isect, sort_rays=True))
+        # Sanity: the scene actually produces primary misses AND hits.
+        h0 = intersect.intersect_bruteforce(
+            *camera_mod_primary(cam, RES), v0, v1, v2
+        ).hit
+        n_miss = int((~np.asarray(h0)).sum())
+        assert 0 < n_miss < RES * RES
         np.testing.assert_allclose(a, b, atol=1e-5)
 
     def test_russian_roulette_unbiased(self, setup):
