@@ -37,29 +37,33 @@ def main() -> None:
     from raytracer3_tpu.scene import procedural
     from raytracer3_tpu.utils.config import RenderSettings
 
-    scene = procedural.atrium_scene(detail=2)
+    scene, host_tris = procedural.atrium_scene(detail=2, return_host=True)
     cam = procedural.atrium_camera(aspect=WIDTH / HEIGHT)
-    isect, occl, _ = tk.make_packet_backend(scene)
+    backend = tk.packet_backend(host_tris=host_tris)
 
     settings = RenderSettings(
         width=WIDTH, height=HEIGHT, bounces=BOUNCES, samples=SAMPLES,
         radiance_clamp=50.0,
     )
 
+    # Scene + BVH tables cross the jit boundary as ARGUMENTS — jit-closures
+    # over device arrays cost a host round-trip per dispatch on tunneled
+    # TPU runtimes (ops/backend.py).
     @jax.jit
-    def frame(film, fi):
+    def frame(scene_, bvh, film, fi):
+        isect, occl = backend.bind(bvh)
         radiance = wavefront.render_frame(
-            scene, cam, settings, fi, isect, occl, sort_rays=True
+            scene_, cam, settings, fi, isect, occl, sort_rays=True
         )
         return film_mod.accumulate_progressive(film, radiance)
 
     film = film_mod.Film.create(HEIGHT, WIDTH)
-    film = frame(film, jnp.uint32(0))
+    film = frame(scene, backend.arrays, film, jnp.uint32(0))
     jax.block_until_ready(film.accum)
 
     t0 = time.perf_counter()
     for i in range(1, N_FRAMES + 1):
-        film = frame(film, jnp.uint32(i))
+        film = frame(scene, backend.arrays, film, jnp.uint32(i))
     jax.block_until_ready(film.accum)
     dt = time.perf_counter() - t0
 

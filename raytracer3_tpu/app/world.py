@@ -40,6 +40,7 @@ class World:
         )
         self._built_version = -1
         self._scene = None
+        self._host_flat = None
         self._backend = None
         self.env_map: Optional[np.ndarray] = None
 
@@ -98,6 +99,7 @@ class World:
         """Device scene, rebuilt lazily when structure changed."""
         if self.dirty or self._scene is None:
             flat = self.pool.flatten()
+            self._host_flat = flat  # host geometry for BVH builds (no device pulls)
             self._scene = scene_types.make_scene(
                 positions=flat["positions"],
                 normals=flat["normals"],
@@ -114,6 +116,34 @@ class World:
             self._built_version = self.pool.version
         return self._scene
 
+    def _host_tris(self):
+        """Host-side (v0, v1, v2) from the pool's flattened geometry."""
+        flat = self._host_flat
+        pos, idx = flat["positions"], flat["indices"]
+        return pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+
+    def trace_backend(self, kind: str = "auto", **kw):
+        """TraceBackend for the current scene (arrays-as-arguments style —
+        required on tunneled TPUs, see ops/backend.py)."""
+        scene = self.scene()
+        import jax
+
+        if kind == "auto":
+            kind = "packet" if jax.default_backend() == "tpu" else "brute"
+        if kind == "packet":
+            from raytracer3_tpu.ops.pallas import traverse_kernel as tk
+
+            return tk.packet_backend(host_tris=self._host_tris(), **kw)
+        if kind == "cluster":
+            from raytracer3_tpu.ops import cluster_bvh
+
+            return cluster_bvh.cluster_backend(host_tris=self._host_tris(), **kw)
+        if kind == "brute":
+            from raytracer3_tpu.ops import intersect as isect_mod
+
+            return isect_mod.brute_backend(tris=self._host_tris())
+        raise ValueError(f"unknown backend kind {kind!r}")
+
     def backend(self, kind: str = "auto", **kw):
         """(intersect_fn, occluded_fn) for the current scene; rebuilt with it.
 
@@ -129,11 +159,15 @@ class World:
         if kind == "packet":
             from raytracer3_tpu.ops.pallas import traverse_kernel as tk
 
-            isect, occl, _ = tk.make_packet_backend(scene, **kw)
+            isect, occl, _ = tk.make_packet_backend(
+                scene, host_tris=self._host_tris(), **kw
+            )
         elif kind == "cluster":
             from raytracer3_tpu.ops import cluster_bvh
 
-            isect, occl, _ = cluster_bvh.make_cluster_backend(scene, **kw)
+            isect, occl, _ = cluster_bvh.make_cluster_backend(
+                scene, host_tris=self._host_tris(), **kw
+            )
         elif kind == "bvh":
             from raytracer3_tpu.ops import traverse
 

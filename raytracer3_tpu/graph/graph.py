@@ -176,12 +176,44 @@ class FrameGraph:
             if r.temporal
         }
 
-    def compile(self, output: str, jit: bool = True, donate_state: bool = True):
+    def compile(
+        self, output: str, jit: bool = True, donate_state: bool = True,
+        bindings: Any = None,
+    ):
         """Bake the execution order and return
-        ``step(state, **constants) -> (output_value, new_state)``."""
-        order = self._order(output)
+        ``step(state, **constants) -> (output_value, new_state)``.
 
-        def step(state: Dict[str, jax.Array], **constants):
+        ``bindings`` is an arbitrary pytree of device arrays (scene, BVH
+        tables — the bindless-heap analog) forwarded to every pass whose
+        function declares a ``bindings`` parameter. It crosses the jit
+        boundary as an *argument*: jit-closures over concrete device arrays
+        make every dispatch pay a host round-trip on tunneled runtimes
+        (see ops/backend.py)."""
+        import inspect
+
+        order = self._order(output)
+        wants_bindings = {
+            p.name: "bindings" in inspect.signature(p.fn).parameters
+            for p in order
+        }
+
+        def _check_decl(pass_name: str, name: str, value):
+            """Written values must match their declaration — the analog of
+            the reference graph materializing resources from declarations
+            (render_graph/build.rs:53-107)."""
+            r = self._resources[name.split("@")[0]]
+            if r.shape is not None and tuple(value.shape) != tuple(r.shape):
+                raise GraphError(
+                    f"pass {pass_name!r} wrote {name!r} with shape "
+                    f"{tuple(value.shape)} but it was declared {r.shape}"
+                )
+            if r.dtype is not None and value.dtype != jnp.dtype(r.dtype):
+                raise GraphError(
+                    f"pass {pass_name!r} wrote {name!r} with dtype "
+                    f"{value.dtype} but it was declared {jnp.dtype(r.dtype)}"
+                )
+
+        def _step(state: Dict[str, jax.Array], bindings_, constants):
             env: Dict[str, Any] = {}
             for r in self._resources.values():
                 if r.temporal:
@@ -189,12 +221,17 @@ class FrameGraph:
             for p in order:
                 with jax.named_scope(f"pass:{p.name}"):
                     inputs = {r: env[r] for r in p.reads}
-                    out = p.fn(inputs, **constants)
+                    kw = dict(constants)
+                    if wants_bindings[p.name]:
+                        kw["bindings"] = bindings_
+                    out = p.fn(inputs, **kw)
                 if set(out) != set(p.writes):
                     raise GraphError(
                         f"pass {p.name!r} returned {sorted(out)} but declared "
                         f"writes {sorted(p.writes)}"
                     )
+                for k, v in out.items():
+                    _check_decl(p.name, k, v)
                 env.update(out)
             new_state = {
                 r.name: env.get(r.name, state[r.name])
@@ -204,5 +241,11 @@ class FrameGraph:
             return env[output], new_state
 
         if jit:
-            return jax.jit(step, donate_argnums=(0,) if donate_state else ())
+            _stepc = jax.jit(_step, donate_argnums=(0,) if donate_state else ())
+        else:
+            _stepc = _step
+
+        def step(state: Dict[str, jax.Array], **constants):
+            return _stepc(state, bindings, constants)
+
         return step

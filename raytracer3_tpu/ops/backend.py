@@ -1,0 +1,55 @@
+"""TraceBackend: intersection backends as (device arrays + pure functions).
+
+The reference binds its TLAS and geometry through the bindless descriptor
+heap and passes 32-bit handles to shaders (src/renderer/bindless/mod.rs,
+shaders/include/bindless.slang) — resources are *arguments* to pipelines,
+never baked into them. The TPU analog turned out to matter for more than
+aesthetics: a ``jit`` that closes over concrete device arrays makes every
+dispatch pay a full host round-trip on tunneled TPU runtimes (~600× measured
+slowdown per call), so acceleration-structure tables and the scene pytree
+must travel through the jit boundary as arguments.
+
+A TraceBackend separates the two halves:
+
+- ``arrays``  — an arbitrary pytree of device arrays (the "descriptor heap").
+- ``intersect_fn(arrays, o, d) -> Hit`` and
+  ``occluded_fn(arrays, o, d, t_max) -> bool[N]`` — pure functions safe to
+  trace with ``arrays`` as tracers.
+
+``intersect``/``occluded`` convenience wrappers bind ``self.arrays`` for
+eager/test use (do NOT call those inside a jit you care about — that is the
+closure pattern again).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+
+class TraceBackend:
+    def __init__(
+        self,
+        arrays: Any,
+        intersect_fn: Callable,
+        occluded_fn: Callable,
+        meta: Any = None,
+    ):
+        self.arrays = arrays
+        self.intersect_fn = intersect_fn
+        self.occluded_fn = occluded_fn
+        self.meta = meta  # backend-specific (e.g. PacketTables shape info)
+
+    # Eager convenience (tests, interactive) — closure pattern, avoid in jit.
+    def intersect(self, o, d):
+        return self.intersect_fn(self.arrays, o, d)
+
+    def occluded(self, o, d, t_max):
+        return self.occluded_fn(self.arrays, o, d, t_max)
+
+    def bind(self, arrays):
+        """(isect, occl) closures over *tracer* arrays — for use inside a jit
+        whose arguments include this backend's array pytree."""
+        return (
+            lambda o, d: self.intersect_fn(arrays, o, d),
+            lambda o, d, t: self.occluded_fn(arrays, o, d, t),
+        )

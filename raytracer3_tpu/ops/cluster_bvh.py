@@ -142,9 +142,14 @@ def _build_clusters(v0, v1, v2, leaf_size: int, use_sah: bool = True):
     return packed.astype(np.float32), tri_id, cmin.astype(np.float32), cmax.astype(np.float32)
 
 
-def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8, width: int = 8) -> ClusterBVH:
-    """Host+device build: clusters (host) → LBVH over cluster AABBs (device)
-    → wide collapse (host) → packed tables."""
+def build_cluster_bvh_host(
+    v0, v1, v2, leaf_size: int = 8, width: int = 8
+) -> ClusterBVH:
+    """Host-side build: clusters → SAH/LBVH over cluster AABBs → wide
+    collapse → packed tables, all numpy. Device↔host traffic is a single
+    bulk pull of the vertices — per-array transfers through a tunneled TPU
+    cost ~1 s each, so the build must never round-trip intermediates."""
+    v0, v1, v2 = jax.device_get((v0, v1, v2))
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -162,9 +167,9 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8, width: int = 8) -> Cluster
             node[0, s * 3 : s * 3 + 3] = 1e30  # inverted finite box: no hit
             node[0, 24 + s * 3 : 24 + s * 3 + 3] = -1e30
         return ClusterBVH(
-            node_table=jnp.asarray(node),
-            cluster_table=jnp.asarray(packed),
-            tri_id=jnp.asarray(tri_id),
+            node_table=node,
+            cluster_table=packed,
+            tri_id=tri_id,
             leaf_size=leaf_size,
             num_nodes=1,
             num_clusters=1,
@@ -178,7 +183,9 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8, width: int = 8) -> Cluster
 
     bvh = native.build_sah_bvh(cmin, cmax)
     if bvh is None:
-        bvh = jax.jit(bvh_mod.build_lbvh_aabbs)(jnp.asarray(cmin), jnp.asarray(cmax))
+        bvh = jax.device_get(
+            jax.jit(bvh_mod.build_lbvh_aabbs)(jnp.asarray(cmin), jnp.asarray(cmax))
+        )
     bvh = jax.tree.map(np.asarray, bvh)
 
     # Collapse binary → 8-wide with one cluster per leaf (host).
@@ -186,7 +193,7 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8, width: int = 8) -> Cluster
 
     wb = wb_mod.collapse(
         bvh,
-        jnp.asarray(cmin), jnp.asarray(cmin), jnp.asarray(cmax),  # verts unused beyond AABBs
+        cmin, cmin, cmax,  # verts unused beyond AABBs
         leaf_size=1,
         width=width,
     )
@@ -216,14 +223,24 @@ def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8, width: int = 8) -> Cluster
     table[:, 6 * width : 7 * width] = codes.astype(np.float32)
     depth = _host_tree_depth(codes.reshape(m, width))
     return ClusterBVH(
-        node_table=jnp.asarray(table),
-        cluster_table=jnp.asarray(packed),
-        tri_id=jnp.asarray(tri_id),
+        node_table=table,
+        cluster_table=packed,
+        tri_id=tri_id,
         leaf_size=leaf_size,
         num_nodes=m,
         num_clusters=c,
         width=width,
         depth=depth,
+    )
+
+
+def build_cluster_bvh(v0, v1, v2, leaf_size: int = 8, width: int = 8) -> ClusterBVH:
+    """build_cluster_bvh_host + a single device upload of the tables."""
+    cb = build_cluster_bvh_host(v0, v1, v2, leaf_size, width)
+    return cb._replace(
+        node_table=jnp.asarray(cb.node_table),
+        cluster_table=jnp.asarray(cb.cluster_table),
+        tri_id=jnp.asarray(cb.tri_id),
     )
 
 
@@ -438,9 +455,46 @@ def _sort8_desc(codes: jax.Array, key: jax.Array, valid: jax.Array):
     )
 
 
-def make_cluster_backend(scene, leaf_size: int = 8):
-    """Scene → (intersect_fn, occluded_fn, ClusterBVH)."""
-    v0, v1, v2 = scene.tri_vertices()
+def cluster_backend(scene=None, leaf_size: int = 8, host_tris=None):
+    """TraceBackend over the gather-free matmul traversal; tables travel as
+    jit arguments (ops/backend.py)."""
+    from raytracer3_tpu.ops.backend import TraceBackend
+
+    if host_tris is not None:
+        v0, v1, v2 = host_tris
+    else:
+        v0, v1, v2 = scene.tri_vertices()
+    cb = build_cluster_bvh(v0, v1, v2, leaf_size)
+    meta = cb._replace(node_table=None, cluster_table=None, tri_id=None)
+    arrays = {
+        "nodes": cb.node_table, "clusters": cb.cluster_table, "tids": cb.tri_id
+    }
+
+    def _rebind(arrays):
+        return meta._replace(
+            node_table=arrays["nodes"],
+            cluster_table=arrays["clusters"],
+            tri_id=arrays["tids"],
+        )
+
+    def isect_fn(arrays, o, d):
+        return cbvh_intersect(_rebind(arrays), o, d)
+
+    def occl_fn(arrays, o, d, tmax):
+        return cbvh_intersect(
+            _rebind(arrays), o, d, t_max=tmax, any_hit=True
+        ).hit
+
+    return TraceBackend(arrays, isect_fn, occl_fn, meta=cb)
+
+
+def make_cluster_backend(scene, leaf_size: int = 8, host_tris=None):
+    """Scene → (intersect_fn, occluded_fn, ClusterBVH). Pass numpy
+    ``host_tris`` to keep the build off the device (see traverse_kernel)."""
+    if host_tris is not None:
+        v0, v1, v2 = host_tris
+    else:
+        v0, v1, v2 = scene.tri_vertices()
     cb = build_cluster_bvh(v0, v1, v2, leaf_size)
 
     def isect(o, d):

@@ -155,3 +155,24 @@ def occluded_bruteforce(
         t_max = t_max[:, None]
     _, _, _, hit = ray_triangle(o, d, tri_v0[None], tri_v1[None], tri_v2[None], t_min, t_max)
     return jnp.any(hit, axis=1)
+
+
+def brute_backend(scene=None, host_tris=None, tris=None):
+    """Brute-force TraceBackend (CPU/tests): vertex arrays travel as jit
+    arguments (ops/backend.py). Pass ``tris=(v0, v1, v2)`` (device or host)
+    or a scene."""
+    from raytracer3_tpu.ops.backend import TraceBackend
+
+    if tris is None:
+        tris = host_tris if host_tris is not None else scene.tri_vertices()
+    v0, v1, v2 = (jnp.asarray(t, jnp.float32) for t in tris)
+
+    def isect_fn(arrays, o, d):
+        return intersect_bruteforce(o, d, arrays["v0"], arrays["v1"], arrays["v2"])
+
+    def occl_fn(arrays, o, d, tmax):
+        return occluded_bruteforce(
+            o, d, arrays["v0"], arrays["v1"], arrays["v2"], t_max=tmax
+        )
+
+    return TraceBackend({"v0": v0, "v1": v1, "v2": v2}, isect_fn, occl_fn)

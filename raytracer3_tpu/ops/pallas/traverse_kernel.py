@@ -3,20 +3,32 @@
 Hardware rationale (measured, see ops/cluster_bvh.py docstring): Mosaic has
 no fast per-lane gather, but *scalar* dynamic slices from VMEM are cheap and
 scalar control flow compiles to real branches. So rays are traced in
-**packets of 1024** (an [8, 128] register tile per component): the packet
-shares one traversal stack in SMEM (scalar ints), each popped node is fetched
-with a scalar dynamic slice, its 8 child boxes are tested against all 1024
-rays as dense [8, 128] vector math, and a child is pushed if *any* ray wants
-it. Leaf clusters branch (scalar predicate → genuinely skipped when no ray
-hits) into 8 Möller–Trumbore tests broadcast across the packet.
+**packets of sublanes×128** (an [8, 128] register tile per component): the
+packet shares one traversal stack in SMEM (scalar ints), each popped node is
+fetched with a scalar dynamic slice, its child boxes are tested against all
+rays as dense vector math, and a child is pushed if *any* ray wants it.
+
+Work skipping is hierarchical at **sublane-group granularity**: every stack
+entry carries a bitmask of which 8-row groups of the packet hit that child's
+AABB when it was pushed. Because child boxes nest inside parent boxes, a
+group that missed a box can never hit anything in its subtree, so leaf
+clusters run their Möller–Trumbore tests only for active groups (predicated
+[rows, 128] slabs writing straight into the output ref). With coherence-
+sorted wavefronts (render/wavefront.py) most leaves activate a small fraction
+of the packet, which is what makes large packets affordable: the scalar
+per-node cost is amortized over 8192 rays while the vector cost scales with
+the rays that actually want the subtree.
 
 This is classic packet tracing (coherent rays share work; the packet visits
-the union of its rays' nodes), mapped onto the TPU's scalar-vs-vector split.
-Ray coherence is restored between bounces by the wavefront sorter
-(render/wavefront.py), mirroring the ray-reordering literature in PAPERS.md.
+the union of its rays' nodes) mapped onto the TPU's scalar-vs-vector split,
+plus the ray-reordering literature in PAPERS.md for inter-bounce coherence.
 
 Tables come from ops/cluster_bvh.build_cluster_bvh; cluster rows are repacked
 to carry triangle ids in their padding lanes.
+
+Capability parity: this kernel is the TPU counterpart of the reference's
+hardware ray dispatch (reference: src/renderer/vulkan/raytracing.rs:88-148,
+cmd_trace_rays via src/renderer/pipeline_cache/mod.rs:64-73).
 """
 
 from __future__ import annotations
@@ -33,9 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracer3_tpu.ops import cluster_bvh as cb_mod
 from raytracer3_tpu.ops import intersect, mathx
 
-PACKET_SUBLANES = 64  # default sublane rows per packet (64 × 128 = 8192 rays;
-# measured on v5e: bigger packets amortize the scalar per-node overhead)
+PACKET_SUBLANES = 256  # default sublane rows per packet (256 × 128 = 32768
+# rays; measured on v5e: bigger packets amortize the scalar per-node overhead,
+# and group-bit work skipping keeps the vector cost proportional to the rays
+# that actually want each subtree, so huge packets stay affordable)
 STACK = 64
+GROUP_ROWS = 8  # sublane rows per work-skipping group (one native VPU tile)
 _BG = mathx.BACKGROUND_DEPTH
 
 
@@ -76,7 +91,7 @@ def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
     rows[:, : 9 * ls] = ct[:, : 9 * ls]
     rows[:, 9 * ls : 9 * ls + ls] = tids
     return PacketTables(
-        node_table=cb.node_table,
+        node_table=jnp.asarray(cb.node_table),
         cluster_table=jnp.asarray(rows),
         leaf_size=ls,
         num_nodes=cb.num_nodes,
@@ -87,19 +102,23 @@ def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
 
 
 def _kernel(
-    rays_ref,  # [1, 8, 8, 128]: attr (ox oy oz dx dy dz tmax unused)
-    nodes_ref,  # [M, 64]
+    rays_ref,  # [1, 8, S, 128]: attr (ox oy oz dx dy dz tmax unused)
+    nodes_ref,  # [M, 64|128]
     clusters_ref,  # [C, 128]
-    out_ref,  # [1, 4, 8, 128]: t, u, v, prim_id(f32 bits)
+    out_ref,  # [1, 4, S, 128]: t, u, v, prim_id(f32 bits)
     *,
     leaf_size: int,
     any_hit: bool,
     t_min: float,
     width: int = 8,
-    use_masks: bool = False,
     stack: int = STACK,
 ):
-    def scoped(stack_ref, mask_ref, child_mask_ref):
+    sublanes = rays_ref.shape[2]
+    n_groups = max(1, sublanes // GROUP_ROWS)
+    rows = sublanes // n_groups
+    all_bits = -1 if n_groups >= 32 else (1 << n_groups) - 1
+
+    def scoped(stack_ref, gbits_ref):
         ox = rays_ref[0, 0]
         oy = rays_ref[0, 1]
         oz = rays_ref[0, 2]
@@ -113,91 +132,105 @@ def _kernel(
         iy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
         iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
 
+        # Hit state lives in the output ref so leaf groups can update their
+        # own [rows, 128] slab without touching the rest of the packet.
+        out_ref[0, 0] = t_cap  # best_t
+        out_ref[0, 1] = jnp.zeros_like(ox)  # u
+        out_ref[0, 2] = jnp.zeros_like(ox)  # v
+        out_ref[0, 3] = jnp.full_like(ox, -1.0)  # prim id (float)
+
         stack_ref[0] = 0  # root
-        if use_masks:
-            mask_ref[0] = jnp.ones_like(ox)  # all rays active at the root
+        gbits_ref[0] = jnp.int32(all_bits)
 
         # The stack pointer travels in the while carry, NOT in SMEM: a loop
         # condition reading a mutated ref never terminates in interpret mode,
         # and a carried scalar also spares Mosaic one SMEM round-trip per
         # iteration.
-        init = (
-            jnp.int32(1),  # sp
-            t_cap,  # best_t
-            jnp.zeros_like(ox),  # u
-            jnp.zeros_like(ox),  # v
-            jnp.full_like(ox, -1.0),  # prim id (float)
-        )
+        def cond(sp):
+            return sp > 0
 
-        def cond(carry):
-            return carry[0] > 0
-
-        def body(carry):
-            sp, best_t, best_u, best_v, best_id = carry
+        def body(sp):
             sp = sp - 1
             entry = stack_ref[sp]
-            # Per-ray active mask recorded when this entry was pushed: only
-            # rays that hit the child's AABB participate in its subtree —
-            # the packet narrows hierarchically instead of scanning the tree
-            # with the full-union any-hit test.
-            active = (mask_ref[sp] > 0.5) if use_masks else True
+            mbits = gbits_ref[sp]
 
-            def handle_node(carry):
-                # Expand an internal node: width AABB packet tests, order
-                # children near-first, push every taken child (leaf codes and
-                # internal ids share the stack; leaves are handled at pop).
-                sp, best_t, best_u, best_v, best_id = carry
+            def handle_node(sp):
+                # Expand an internal node: per active sublane-group AABB
+                # tests (inactive groups skipped entirely), order children
+                # near-first, push every taken child (leaf codes and internal
+                # ids share the stack; leaves are handled at pop).
                 row = nodes_ref[entry]  # scalar dynamic index
-                masked_tn = []
-                slot_codes = []
-                slot_real = []
-                for s in range(width):
-                    cminx = row[s * 3 + 0]
-                    cminy = row[s * 3 + 1]
-                    cminz = row[s * 3 + 2]
-                    cmaxx = row[3 * width + s * 3 + 0]
-                    cmaxy = row[3 * width + s * 3 + 1]
-                    cmaxz = row[3 * width + s * 3 + 2]
-                    code = row[6 * width + s]
-
-                    t0x = (cminx - ox) * ix
-                    t1x = (cmaxx - ox) * ix
-                    t0y = (cminy - oy) * iy
-                    t1y = (cmaxy - oy) * iy
-                    t0z = (cminz - oz) * iz
-                    t1z = (cmaxz - oz) * iz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                        jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+                slot_codes = [row[6 * width + s] for s in range(width)]
+                slot_real = [
+                    jnp.abs(code + 1.0) > 0.25 for code in slot_codes
+                ]
+                boxes = [
+                    (
+                        row[s * 3 + 0], row[s * 3 + 1], row[s * 3 + 2],
+                        row[3 * width + s * 3 + 0],
+                        row[3 * width + s * 3 + 1],
+                        row[3 * width + s * 3 + 2],
                     )
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                        jnp.minimum(jnp.maximum(t0z, t1z), best_t),
-                    )
-                    hit_here = (tn <= tf) & active if use_masks else (tn <= tf)
-                    masked_tn.append(jnp.where(hit_here, tn, jnp.inf))
-                    slot_codes.append(code)
-                    slot_real.append(jnp.abs(code + 1.0) > 0.25)
+                    for s in range(width)
+                ]
 
-                # Per-slot packet stats via one sublane fold per slot + a
-                # single cross-lane reduction over the [width, 128] stack
-                # (cross-packet reductions are the scalar-side bottleneck).
-                folded = [jnp.min(m, axis=0) for m in masked_tn]
-                keys_vec = jnp.min(jnp.stack(folded), axis=1)  # [width]
+                def group_keys(g):
+                    """Row-folded min-tn per child slot over group g's rays
+                    ([width, 128]; inf where the slot's box was missed)."""
+                    sl = slice(g * rows, (g + 1) * rows)
+                    gox, goy, goz = ox[sl], oy[sl], oz[sl]
+                    gix, giy, giz = ix[sl], iy[sl], iz[sl]
+                    bt = out_ref[0, 0, sl]
+                    masked = []
+                    for s in range(width):
+                        cminx, cminy, cminz, cmaxx, cmaxy, cmaxz = boxes[s]
+                        t0x = (cminx - gox) * gix
+                        t1x = (cmaxx - gox) * gix
+                        t0y = (cminy - goy) * giy
+                        t1y = (cmaxy - goy) * giy
+                        t0z = (cminz - goz) * giz
+                        t1z = (cmaxz - goz) * giz
+                        tn = jnp.maximum(
+                            jnp.maximum(
+                                jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)
+                            ),
+                            jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+                        )
+                        tf = jnp.minimum(
+                            jnp.minimum(
+                                jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)
+                            ),
+                            jnp.minimum(jnp.maximum(t0z, t1z), bt),
+                        )
+                        masked.append(jnp.where(tn <= tf, tn, jnp.inf))
+                    # Fold the row axis in one fused reduction over the
+                    # stacked [width, rows, 128] block.
+                    return jnp.min(jnp.stack(masked), axis=1)
+
+                gvecs = []
+                for g in range(n_groups):
+                    gvecs.append(
+                        jax.lax.cond(
+                            ((mbits >> g) & 1) == 1,
+                            functools.partial(group_keys, g),
+                            lambda: jnp.full((width, 128), jnp.inf, jnp.float32),
+                        )
+                    )
+                merged = functools.reduce(jnp.minimum, gvecs)  # [width, 128]
+                keys_vec = jnp.min(merged, axis=1)  # [width]
+                bits_vec = jnp.zeros((width,), jnp.int32)
+                for g in range(n_groups):
+                    gfin = jnp.min(gvecs[g], axis=1) < jnp.inf  # [width]
+                    bits_vec = bits_vec | jnp.where(
+                        gfin, jnp.left_shift(jnp.int32(1), jnp.int32(g)), 0
+                    )
+
                 keys = [keys_vec[s] for s in range(width)]
+                bits = [bits_vec[s] for s in range(width)]
                 codes_l = list(slot_codes)
                 takes = [
                     (keys[s] < jnp.inf) & slot_real[s] for s in range(width)
                 ]
-                idxs = list(range(width))  # original slot of each sorted entry
-                # Child masks staged in scratch so pushes can copy them with
-                # a dynamic (sorted) slot index — Mosaic only supports
-                # dynamic indexing on refs, not values.
-                if use_masks:
-                    for s in range(width):
-                        child_mask_ref[s] = jnp.where(
-                            masked_tn[s] < jnp.inf, 1.0, 0.0
-                        )
 
                 # Scalar sort (descending key): push far-first so the nearest
                 # child pops first. Any-hit queries skip the ordering.
@@ -211,9 +244,7 @@ def _kernel(
                         keys[a], keys[b] = pick(keys[a], keys[b])
                         codes_l[a], codes_l[b] = pick(codes_l[a], codes_l[b])
                         takes[a], takes[b] = pick(takes[a], takes[b])
-                        ia = jnp.asarray(idxs[a], jnp.int32)
-                        ib = jnp.asarray(idxs[b], jnp.int32)
-                        idxs[a], idxs[b] = pick(ia, ib)
+                        bits[a], bits[b] = pick(bits[a], bits[b])
 
                 # Compacted branch-free pushes: slot s lands at
                 # sp + (#takes before s), clamped to the (build-sized) stack.
@@ -221,92 +252,102 @@ def _kernel(
                 for s in range(width):
                     code = codes_l[s]
                     take = takes[s]
-                    orig = idxs[s]
+                    bit = bits[s]
                     pos = jnp.minimum(sp + pushed, stack - 1)
 
                     @pl.when(take)
-                    def _(code=code, orig=orig, pos=pos):
+                    def _(code=code, bit=bit, pos=pos):
                         stack_ref[pos] = code.astype(jnp.int32)
-                        if use_masks:
-                            mask_ref[pos] = child_mask_ref[orig]
+                        gbits_ref[pos] = bit
 
                     pushed = pushed + take.astype(jnp.int32)
 
-                sp = jnp.minimum(sp + pushed, stack)
-                return sp, best_t, best_u, best_v, best_id
+                return jnp.minimum(sp + pushed, stack)
 
-            def handle_leaf(carry):
-                sp, best_t, best_u, best_v, best_id = carry
+            def handle_leaf(sp):
                 cl = -entry - 2  # int32 leaf code
                 crow = clusters_ref[cl]  # [128]
+                # Triangle scalars extracted once; broadcast inside each
+                # active group's predicated body.
+                tris = []
                 for j in range(leaf_size):
                     b = j * 9
-                    v0x, v0y, v0z = crow[b], crow[b + 1], crow[b + 2]
-                    e1x, e1y, e1z = crow[b + 3], crow[b + 4], crow[b + 5]
-                    e2x, e2y, e2z = crow[b + 6], crow[b + 7], crow[b + 8]
-                    tid = crow[9 * leaf_size + j]
-                    # pvec = d × e2
-                    px_ = dy * e2z - dz * e2y
-                    py_ = dz * e2x - dx * e2z
-                    pz_ = dx * e2y - dy * e2x
-                    det = e1x * px_ + e1y * py_ + e1z * pz_
-                    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-                    tx = ox - v0x
-                    ty = oy - v0y
-                    tz = oz - v0z
-                    uu = (tx * px_ + ty * py_ + tz * pz_) * inv_det
-                    # qvec = tvec × e1
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
-                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    ok = (
-                        (active if use_masks else (jnp.abs(det) > -1.0))
-                        & (jnp.abs(det) > 1e-9)
-                        & (uu >= 0.0)
-                        & (vv >= 0.0)
-                        & (uu + vv <= 1.0)
-                        & (tt > t_min)
-                        & (tt < best_t)
-                        & (tid >= 0.0)
+                    tris.append(
+                        (
+                            crow[b], crow[b + 1], crow[b + 2],
+                            crow[b + 3], crow[b + 4], crow[b + 5],
+                            crow[b + 6], crow[b + 7], crow[b + 8],
+                            crow[9 * leaf_size + j],
+                        )
                     )
-                    best_t = jnp.where(ok, tt, best_t)
-                    best_u = jnp.where(ok, uu, best_u)
-                    best_v = jnp.where(ok, vv, best_v)
-                    best_id = jnp.where(ok, tid, best_id)
-                return sp, best_t, best_u, best_v, best_id
 
-            carry = jax.lax.cond(
-                entry >= 0,
-                handle_node,
-                handle_leaf,
-                (sp, best_t, best_u, best_v, best_id),
-            )
+                for g in range(n_groups):
+
+                    @pl.when(((mbits >> g) & 1) == 1)
+                    def _(g=g):
+                        sl = slice(g * rows, (g + 1) * rows)
+                        gox, goy, goz = ox[sl], oy[sl], oz[sl]
+                        gdx, gdy, gdz = dx[sl], dy[sl], dz[sl]
+                        bt = out_ref[0, 0, sl]
+                        bu = out_ref[0, 1, sl]
+                        bv = out_ref[0, 2, sl]
+                        bid = out_ref[0, 3, sl]
+                        for (
+                            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, tid
+                        ) in tris:
+                            # pvec = d × e2
+                            px_ = gdy * e2z - gdz * e2y
+                            py_ = gdz * e2x - gdx * e2z
+                            pz_ = gdx * e2y - gdy * e2x
+                            det = e1x * px_ + e1y * py_ + e1z * pz_
+                            inv_det = jnp.where(
+                                jnp.abs(det) > 1e-9, 1.0 / det, 0.0
+                            )
+                            tx = gox - v0x
+                            ty = goy - v0y
+                            tz = goz - v0z
+                            uu = (tx * px_ + ty * py_ + tz * pz_) * inv_det
+                            # qvec = tvec × e1
+                            qx = ty * e1z - tz * e1y
+                            qy = tz * e1x - tx * e1z
+                            qz = tx * e1y - ty * e1x
+                            vv = (gdx * qx + gdy * qy + gdz * qz) * inv_det
+                            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                            ok = (
+                                (jnp.abs(det) > 1e-9)
+                                & (uu >= 0.0)
+                                & (vv >= 0.0)
+                                & (uu + vv <= 1.0)
+                                & (tt > t_min)
+                                & (tt < bt)
+                                & (tid >= 0.0)
+                            )
+                            bt = jnp.where(ok, tt, bt)
+                            bu = jnp.where(ok, uu, bu)
+                            bv = jnp.where(ok, vv, bv)
+                            bid = jnp.where(ok, tid, bid)
+                        out_ref[0, 0, sl] = bt
+                        out_ref[0, 1, sl] = bu
+                        out_ref[0, 2, sl] = bv
+                        out_ref[0, 3, sl] = bid
+
+                return sp
+
+            sp = jax.lax.cond(entry >= 0, handle_node, handle_leaf, sp)
             if any_hit:
                 # Terminate the packet when every live ray is blocked
                 # (padding rays carry t_cap <= t_min and count as done).
-                done = (carry[4] >= 0.0) | (t_cap <= t_min)
-                carry = (
-                    jnp.where(jnp.all(done), 0, carry[0]),
-                ) + carry[1:]
+                done = (out_ref[0, 3] >= 0.0) | (t_cap <= t_min)
+                sp = jnp.where(jnp.all(done), 0, sp)
 
-            return carry
+            return sp
 
-        _, best_t, best_u, best_v, best_id = jax.lax.while_loop(cond, body, init)
-        out_ref[0, 0] = best_t
-        out_ref[0, 1] = best_u
-        out_ref[0, 2] = best_v
-        out_ref[0, 3] = best_id
+        jax.lax.while_loop(cond, body, jnp.int32(1))
 
-    sublanes = rays_ref.shape[2]
-    mdepth = stack if use_masks else 1
-    mw = width if use_masks else 1
     pl.run_scoped(
         scoped,
         pltpu.SMEM((stack,), jnp.int32),
-        pltpu.VMEM((mdepth, sublanes, 128), jnp.float32),
-        pltpu.VMEM((mw, sublanes, 128), jnp.float32),
+        pltpu.SMEM((stack,), jnp.int32),
     )
 
 
@@ -319,7 +360,6 @@ def packet_intersect(
     any_hit: bool = False,
     interpret: bool = False,
     sublanes: int = PACKET_SUBLANES,
-    use_masks: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the packet kernel. N is padded to a multiple
     of PACKET; callers should order rays coherently (tiles / sorted queues)."""
@@ -342,7 +382,7 @@ def packet_intersect(
     stack = max(STACK, (pt.width - 1) * pt.depth + 1)
     kernel = functools.partial(
         _kernel, leaf_size=pt.leaf_size, any_hit=any_hit, t_min=t_min,
-        width=pt.width, use_masks=use_masks, stack=stack,
+        width=pt.width, stack=stack,
     )
     out = pl.pallas_call(
         kernel,
@@ -371,26 +411,68 @@ def packet_intersect(
     )
 
 
+def packet_backend(
+    scene=None, leaf_size: int = 12, interpret: bool = False,
+    sublanes: int = PACKET_SUBLANES, width: int = 16,
+    host_tris=None,
+):
+    """Build a TraceBackend whose tables travel as jit arguments (see
+    ops/backend.py for why closures over device tables are forbidden)."""
+    from raytracer3_tpu.ops.backend import TraceBackend
+
+    if host_tris is not None:
+        v0, v1, v2 = host_tris
+    else:
+        v0, v1, v2 = scene.tri_vertices()
+    cb = cb_mod.build_cluster_bvh_host(v0, v1, v2, leaf_size, width=width)
+    pt = pack_tables(cb)
+    meta = pt._replace(node_table=None, cluster_table=None)
+    arrays = {"nodes": pt.node_table, "clusters": pt.cluster_table}
+
+    def isect_fn(arrays, o, d):
+        pt2 = meta._replace(
+            node_table=arrays["nodes"], cluster_table=arrays["clusters"]
+        )
+        return packet_intersect(pt2, o, d, interpret=interpret, sublanes=sublanes)
+
+    def occl_fn(arrays, o, d, tmax):
+        pt2 = meta._replace(
+            node_table=arrays["nodes"], cluster_table=arrays["clusters"]
+        )
+        return packet_intersect(
+            pt2, o, d, t_max=tmax, any_hit=True, interpret=interpret,
+            sublanes=sublanes,
+        ).hit
+
+    return TraceBackend(arrays, isect_fn, occl_fn, meta=pt)
+
+
 def make_packet_backend(
     scene, leaf_size: int = 12, interpret: bool = False,
     sublanes: int = PACKET_SUBLANES, width: int = 16,
-    use_masks: bool = False,
+    host_tris=None,
 ):
-    """Scene → (intersect_fn, occluded_fn, PacketTables)."""
-    v0, v1, v2 = scene.tri_vertices()
-    cb = cb_mod.build_cluster_bvh(v0, v1, v2, leaf_size, width=width)
+    """Scene → (intersect_fn, occluded_fn, PacketTables).
+
+    Pass ``host_tris=(v0, v1, v2)`` (numpy) when the caller has host-side
+    geometry: pulling gathered vertices back from a tunneled TPU device can
+    cost minutes, so the BVH build should never depend on device arrays."""
+    if host_tris is not None:
+        v0, v1, v2 = host_tris
+    else:
+        v0, v1, v2 = scene.tri_vertices()
+    cb = cb_mod.build_cluster_bvh_host(v0, v1, v2, leaf_size, width=width)
     pt = pack_tables(cb)
 
     def isect(o, d):
         return packet_intersect(
             pt, o, d, interpret=interpret, sublanes=sublanes,
-            use_masks=use_masks,
         )
 
     def occl(o, d, tmax):
         return packet_intersect(
             pt, o, d, t_max=tmax, any_hit=True, interpret=interpret,
-            sublanes=sublanes, use_masks=use_masks,
+            sublanes=sublanes,
         ).hit
 
     return isect, occl, pt

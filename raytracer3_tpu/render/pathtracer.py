@@ -185,6 +185,7 @@ def _nee_contribution(
     sampler: rng.Sampler,
     settings: RenderSettings,
     alive_mask: jax.Array | None = None,
+    sort_shadow: bool = False,
 ):
     """Sample one point on the emissive set (area-proportional), test
     visibility, MIS-weight against BRDF sampling."""
@@ -192,13 +193,26 @@ def _nee_contribution(
     # Pick a light triangle by area CDF.
     li = jnp.searchsorted(em.cdf, u3[:, 0:1]).reshape(-1)
     li = jnp.clip(li, 0, em.tri_ids.shape[0] - 1)
-    tri = em.tri_ids[li]
-    valid_light = tri >= 0
-    tid = jnp.clip(tri, 0, scene.num_triangles - 1)
-    idx = scene.indices[tid]
-    v0 = scene.positions[idx[:, 0]]
-    v1 = scene.positions[idx[:, 1]]
-    v2 = scene.positions[idx[:, 2]]
+    if em.light_table is not None:
+        # Single-gather light fetch (see EmissiveTable.light_table).
+        row = em.light_table[li]  # [N, 16]
+        v0 = row[:, 0:3]
+        e1 = row[:, 3:6]
+        e2 = row[:, 6:9]
+        le = row[:, 9:12]
+        valid_light = row[:, 12] > 0.5
+        v1 = v0 + e1
+        v2 = v0 + e2
+    else:
+        tri = em.tri_ids[li]
+        valid_light = tri >= 0
+        tid = jnp.clip(tri, 0, scene.num_triangles - 1)
+        idx = scene.indices[tid]
+        v0 = scene.positions[idx[:, 0]]
+        v1 = scene.positions[idx[:, 1]]
+        v2 = scene.positions[idx[:, 2]]
+        g = scene.geo_id[tid]
+        le = scene.materials.emission[g] * scene_types.EMISSION_SCALE
     # Uniform point on triangle.
     su = jnp.sqrt(jnp.maximum(u3[:, 1:2], 0.0))
     b0 = 1.0 - su
@@ -229,16 +243,32 @@ def _nee_contribution(
     pdf_brdf = ev.pdf * jnp.maximum(wi_l[..., 2], 0.0)
     mis_w = pdf_light / jnp.maximum(pdf_light + pdf_brdf, 1e-20)
 
-    g = scene.geo_id[tid]
-    le = scene.materials.emission[g] * scene_types.EMISSION_SCALE
-
     # Lanes whose NEE sample is already invalid skip the shadow traversal
     # (parked outside the scene → immediate miss in packet traversal).
     pre_ok = valid_light & (cos_s > 0.0) & (cos_l > 1e-6) & (pdf_light > 0.0)
     if alive_mask is not None:
         pre_ok = pre_ok & alive_mask
     shadow_o = jnp.where(pre_ok[:, None], hit_pos + normal * 1e-3, 1e30)
-    blocked = occluded_fn(shadow_o, wi_world, dist[:, 0] * (1.0 - 1e-3))
+    t_shadow = dist[:, 0] * (1.0 - 1e-3)
+    if sort_shadow:
+        # Coherence-sort the shadow batch into the traversal and scatter the
+        # occlusion bits back — the queue itself stays in pixel order (see
+        # wavefront.py: permuting whole queues costs ~4.5 ms per array).
+        from raytracer3_tpu.render import wavefront as _wf
+
+        perm = jnp.argsort(_wf.sort_key_pos_dir(shadow_o, wi_world, pre_ok))
+        packed = jnp.concatenate(
+            [shadow_o, wi_world, t_shadow[:, None]], axis=1
+        )[perm]
+        blocked_s = occluded_fn(packed[:, 0:3], packed[:, 3:6], packed[:, 6])
+        blocked = (
+            jnp.zeros(blocked_s.shape, jnp.float32)
+            .at[perm]
+            .set(blocked_s.astype(jnp.float32), unique_indices=True)
+            > 0.5
+        )
+    else:
+        blocked = occluded_fn(shadow_o, wi_world, t_shadow)
 
     contrib = (
         ev.value

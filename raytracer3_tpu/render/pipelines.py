@@ -19,12 +19,28 @@ from raytracer3_tpu.render import pathtracer, postprocess, probes, wavefront
 from raytracer3_tpu.utils.config import RenderSettings
 
 
-def wavefront_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_fn=None, sort_rays: bool = True):
+def _resolve_backend(backend, intersect_fn, occluded_fn, bindings):
+    """(isect, occl) for a pass body: TraceBackend arrays rebound from the
+    per-call bindings (the jit-argument path), else the legacy closures."""
+    if backend is not None:
+        return backend.bind(bindings["bvh"])
+    return intersect_fn, occluded_fn
+
+
+def wavefront_pipeline(
+    scene, settings: RenderSettings, intersect_fn=None, occluded_fn=None,
+    sort_rays: bool = True, backend=None, blue_noise=None,
+):
     """Production progressive path tracing: wavefront PT → film blend → AgX.
 
     Graph form of the reference's active `commands` declaration: a "trace"
     pass writing radiance, a "blend" pass folding it into the temporal film,
-    and a "post" pass producing the display image (the swapchain writer)."""
+    and a "post" pass producing the display image (the swapchain writer).
+
+    Prefer ``backend=`` (a TraceBackend): the scene and BVH tables then cross
+    the jit boundary as arguments (bindings), which tunneled-TPU dispatch
+    requires (ops/backend.py). ``intersect_fn``/``occluded_fn`` closures
+    remain supported for tests/CPU."""
     w, h = settings.width, settings.height
     g = FrameGraph()
     g.image("radiance", (h, w, 3))
@@ -32,10 +48,13 @@ def wavefront_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_f
     g.temporal("frame_count", ())
     g.image("display", (h, w, 3))
 
-    def trace(r, cam, frame_index):
+    def trace(r, cam, frame_index, bindings):
+        isect, occl = _resolve_backend(
+            backend, intersect_fn, occluded_fn, bindings
+        )
         rad = wavefront.render_frame(
-            scene, cam, settings, frame_index, intersect_fn, occluded_fn,
-            sort_rays=sort_rays,
+            bindings["scene"], cam, settings, frame_index, isect, occl,
+            sort_rays=sort_rays, blue_noise=bindings.get("blue_noise"),
         )
         return {"radiance": rad}
 
@@ -57,11 +76,16 @@ def wavefront_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_f
         writes=["film", "frame_count"],
     )
     g.add_pass("post", post, reads=["film"], writes=["display"])
-    step = g.compile(output="display")
+    bindings = {
+        "scene": scene,
+        "bvh": None if backend is None else backend.arrays,
+        "blue_noise": blue_noise,
+    }
+    step = g.compile(output="display", bindings=bindings)
     return step, g.init_state
 
 
-def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_fn=None, blendfactor: float = 0.15):
+def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn=None, occluded_fn=None, blendfactor: float = 0.15, backend=None):
     """The legacy probe pipeline (SURVEY.md §3.5): G-buffer → SIS →
     trace_probes → SH conversion → interpolate → postprocess, with the probe
     atlas as the temporal resource (prev_probe_atlas analog)."""
@@ -75,15 +99,18 @@ def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_fn
     g.image("display", (h, w, 3))
     g.image("sh", (py, px, 3, 9))
 
-    def gi(r, cam, frame_index):
+    def gi(r, cam, frame_index, bindings):
+        isect, occl = _resolve_backend(
+            backend, intersect_fn, occluded_fn, bindings
+        )
         prev = probes.ProbeState(
             atlas=r["probe_atlas@prev"],
             depth=r["probe_depth@prev"],
             sh_coeffs=jnp.zeros((py, px, 3, 9), jnp.float32),
         )
         light, state, aux = probes.probe_gi_frame(
-            scene, intersect_fn, cam, prev, settings, frame_index,
-            blendfactor=blendfactor, occluded_fn=occluded_fn,
+            bindings["scene"], isect, cam, prev, settings, frame_index,
+            blendfactor=blendfactor, occluded_fn=occl,
         )
         return {
             "light": light,
@@ -101,11 +128,17 @@ def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_fn
         writes=["light", "probe_atlas", "probe_depth", "sh"],
     )
     g.add_pass("post", post, reads=["light"], writes=["display"])
-    step = g.compile(output="display")
+    step = g.compile(
+        output="display",
+        bindings={
+            "scene": scene,
+            "bvh": None if backend is None else backend.arrays,
+        },
+    )
     return step, g.init_state
 
 
-def reference_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_fn=None):
+def reference_pipeline(scene, settings: RenderSettings, intersect_fn=None, occluded_fn=None, backend=None):
     """Reference-mode ground-truth pipeline (old/refrence_mode.slang):
     G-buffer → samples×bounces PT → progressive blend → AgX."""
     w, h = settings.width, settings.height
@@ -115,9 +148,12 @@ def reference_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_f
     g.temporal("frame_count", ())
     g.image("display", (h, w, 3))
 
-    def trace(r, cam, frame_index):
+    def trace(r, cam, frame_index, bindings):
+        isect, occl = _resolve_backend(
+            backend, intersect_fn, occluded_fn, bindings
+        )
         rad = pathtracer.render_image(
-            scene, cam, settings, frame_index, intersect_fn, occluded_fn
+            bindings["scene"], cam, settings, frame_index, isect, occl
         )
         return {"radiance": rad}
 
@@ -139,5 +175,11 @@ def reference_pipeline(scene, settings: RenderSettings, intersect_fn, occluded_f
         writes=["film", "frame_count"],
     )
     g.add_pass("post", post, reads=["film"], writes=["display"])
-    step = g.compile(output="display")
+    step = g.compile(
+        output="display",
+        bindings={
+            "scene": scene,
+            "bvh": None if backend is None else backend.arrays,
+        },
+    )
     return step, g.init_state

@@ -44,30 +44,28 @@ class RayQueue(NamedTuple):
     uv: jax.Array  # [N, 2]
 
 
-def _sort_key(q: RayQueue) -> jax.Array:
+def sort_key_pos_dir(pos: jax.Array, d: jax.Array, alive: jax.Array) -> jax.Array:
     """Coherence sort key: alive rays first, then direction octant, then a
-    Morton code of the hit position — packs spatially/directionally coherent
+    Morton code of the ray origin — packs spatially/directionally coherent
     rays into the same traversal packet (the ray-reordering technique)."""
-    d = q.direction
     octant = (
         (d[:, 0] >= 0).astype(jnp.int32)
         + 2 * (d[:, 1] >= 0).astype(jnp.int32)
         + 4 * (d[:, 2] >= 0).astype(jnp.int32)
     )
-    p = q.origin + q.depth[:, None] * q.direction
-    # Bounds over *alive* lanes only: dead/missed lanes sit at
-    # origin + BACKGROUND_DEPTH·dir and would swamp the scene extent,
-    # collapsing every live ray into one Morton cell.
-    alive3 = q.alive[:, None]
-    lo = jnp.min(jnp.where(alive3, p, jnp.inf), axis=0)
-    hi = jnp.max(jnp.where(alive3, p, -jnp.inf), axis=0)
+    # Bounds over *alive* lanes only: dead lanes are parked at 1e30 and
+    # would swamp the scene extent, collapsing every live ray into one
+    # Morton cell.
+    alive3 = alive[:, None]
+    lo = jnp.min(jnp.where(alive3, pos, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(alive3, pos, -jnp.inf), axis=0)
     no_alive = ~jnp.isfinite(lo)
     lo = jnp.where(no_alive, 0.0, lo)
     hi = jnp.where(no_alive, 1.0, hi)
-    norm = (p - lo) / jnp.maximum(hi - lo, 1e-6)
+    norm = (pos - lo) / jnp.maximum(hi - lo, 1e-6)
     # 18-bit Morton (6 bits/axis) is plenty for packet grouping.
     qz = jnp.clip(norm * 63.0, 0, 63).astype(jnp.int32)
-    morton = jnp.zeros(p.shape[0], jnp.int32)
+    morton = jnp.zeros(pos.shape[0], jnp.int32)
     for b in range(6):
         morton = (
             morton
@@ -75,12 +73,44 @@ def _sort_key(q: RayQueue) -> jax.Array:
             | (((qz[:, 1] >> b) & 1) << (3 * b + 1))
             | (((qz[:, 2] >> b) & 1) << (3 * b))
         )
-    dead_penalty = jnp.where(q.alive, 0, 1 << 30)
+    dead_penalty = jnp.where(alive, 0, 1 << 30)
     return dead_penalty + (octant << 18) + morton
+
+
+def _sort_key(q: RayQueue) -> jax.Array:
+    """Legacy queue key (kept for parallel/mesh + tests)."""
+    p = q.origin + q.depth[:, None] * q.direction
+    return sort_key_pos_dir(p, q.direction, q.alive)
 
 
 def _permute(q: RayQueue, perm: jax.Array) -> RayQueue:
     return jax.tree.map(lambda a: a[perm], q)
+
+
+def sorted_trace(intersect_fn, origins, directions, alive) -> intersect.Hit:
+    """Trace through the backend with coherence-sorted IO, results in the
+    caller's ray order.
+
+    The queue itself is never permuted: per-lane gathers cost ~4.5 ms per
+    [N] array on v5e, so sorting packs exactly ONE [N, 6] ray gather in and
+    ONE [N, 4] hit scatter out (prim_id travels bit-cast through the f32
+    pack)."""
+    perm = jnp.argsort(sort_key_pos_dir(origins, directions, alive))
+    packed = jnp.concatenate([origins, directions], axis=1)[perm]
+    h = intersect_fn(packed[:, 0:3], packed[:, 3:6])
+    hp = jnp.concatenate(
+        [
+            h.t[:, None],
+            h.uv,
+            jax.lax.bitcast_convert_type(h.prim_id, jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    hp = jnp.zeros_like(hp).at[perm].set(hp, unique_indices=True)
+    prim_id = jax.lax.bitcast_convert_type(hp[:, 3], jnp.int32)
+    return intersect.Hit(
+        t=hp[:, 0], uv=hp[:, 1:3], prim_id=prim_id, hit=prim_id >= 0
+    )
 
 
 def trace_wavefront(
@@ -100,12 +130,6 @@ def trace_wavefront(
 
     def bounce(carry, b):
         q, sampler = carry
-
-        if sort_rays:
-            perm = jnp.argsort(_sort_key(q))
-            q = _permute(q, perm)
-            # Per-lane RNG streams travel with their rays.
-            sampler = rng.Sampler(seed=sampler.seed[perm], index=sampler.index)
 
         surface = scene_types.hit_surface_info(scene, q.prim_id, q.uv)
         nrm = pathtracer._face_forward(surface.normal, -q.direction)
@@ -132,7 +156,7 @@ def trace_wavefront(
             u_l, sampler = sampler.next3()
             li, sampler = pathtracer._nee_contribution(
                 scene, occluded_fn, hit_pos, nrm, -q.direction, surface, u_l,
-                sampler, settings, alive_mask=q.alive,
+                sampler, settings, alive_mask=q.alive, sort_shadow=sort_rays,
             )
             radiance = radiance + jnp.where(q.alive[:, None], q.throughput * li, 0.0)
 
@@ -168,7 +192,10 @@ def trace_wavefront(
         # packets fail the root AABB test immediately — with alive-first
         # sorting, fully-dead packets cost one traversal iteration.
         park = jnp.where(alive[:, None], hit_pos, 1e30)
-        h = intersect_fn(park, new_dir)
+        if sort_rays:
+            h = sorted_trace(intersect_fn, park, new_dir, alive)
+        else:
+            h = intersect_fn(park, new_dir)
         env = pathtracer._sample_env(scene, new_dir)
         radiance = radiance + jnp.where(
             (alive & ~h.hit)[:, None], throughput * env, 0.0
@@ -195,7 +222,10 @@ def trace_wavefront(
     return q
 
 
-def tiled_pixel_order(width: int, height: int, tile_w: int = 128, tile_h: int = 64) -> jax.Array:
+TILE_W, TILE_H = 128, 64  # traversal-packet screen tiles (one 8192-ray packet)
+
+
+def tiled_pixel_order(width: int, height: int, tile_w: int = TILE_W, tile_h: int = TILE_H) -> jax.Array:
     """Pixel coords [N, 2] in tile-swizzled order: consecutive rays form
     tile_w×tile_h screen tiles, so each fixed-size traversal packet gets a
     tight primary-ray frustum instead of a thin full-width strip.
@@ -228,10 +258,8 @@ def render_frame(
     [H, W, 3] raw radiance. Samples loop on the outside (decorrelated)."""
     w, h = settings.width, settings.height
     n = w * h
-    if tile_primaries and (w % 128 == 0) and (h % 64 == 0):
-        pix = tiled_pixel_order(w, h)
-    else:
-        pix = camera_mod.pixel_grid(w, h)
+    tiled = tile_primaries and (w % TILE_W == 0) and (h % TILE_H == 0)
+    pix = tiled_pixel_order(w, h) if tiled else camera_mod.pixel_grid(w, h)
 
     total = jnp.zeros((n, 3), jnp.float32)
     for s_i in range(settings.samples):
@@ -269,14 +297,22 @@ def render_frame(
         radiance = q.radiance
         if settings.radiance_clamp > 0.0:
             radiance = jnp.minimum(radiance, settings.radiance_clamp)
-        # Scatter path radiance through the queue's (possibly permuted)
-        # pixel_id; primary-miss lanes carried radiance 0 through the bounce
-        # loop, so adding env separately — in *original* pixel order, keyed by
-        # the unsorted hit0 — composes correctly whether or not the queue was
-        # coherence-sorted.
-        total = total.at[q.pixel_id].add(radiance)
+        # The queue is never permuted (sorting happens inside sorted_trace /
+        # the shadow batch), so radiance is already in fixed pixel order —
+        # accumulate element-wise; no film scatter.
+        total = total + radiance
         env = pathtracer._sample_env(scene, d)
-        pix_ids = (pix[:, 1] * w + pix[:, 0]).astype(jnp.int32)
-        total = total.at[pix_ids].add(jnp.where(~hit0.hit[:, None], env, 0.0))
+        total = total + jnp.where(~hit0.hit[:, None], env, 0.0)
 
-    return (total / float(settings.samples)).reshape(h, w, 3)
+    total = total / float(settings.samples)
+    if tiled:
+        # Undo the tile-swizzled ray order with pure reshapes (a scatter by
+        # pixel_id costs ~45 ms at 1080p; this is free).
+        th, tw = TILE_H, TILE_W
+        total = (
+            total.reshape(h // th, w // tw, th, tw, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(h, w, 3)
+        )
+        return total
+    return total.reshape(h, w, 3)

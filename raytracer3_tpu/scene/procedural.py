@@ -217,13 +217,25 @@ def atrium(detail: int = 2, seed: int = 0):
     )
 
 
-def atrium_scene(detail: int = 2, seed: int = 0, with_sky: bool = True):
-    """Atrium as a device Scene (+ procedural sky)."""
+def atrium_scene(
+    detail: int = 2, seed: int = 0, with_sky: bool = True,
+    return_host: bool = False,
+):
+    """Atrium as a device Scene (+ procedural sky).
+
+    With ``return_host=True`` also returns host-side numpy (v0, v1, v2)
+    triangle vertices for acceleration-structure builds — device→host pulls
+    through a tunneled TPU are pathologically slow, so BVH builders must get
+    geometry from the host, never from the device Scene."""
     from raytracer3_tpu.scene import types as scene_types
 
     kw = atrium(detail=detail, seed=seed)
     env = sky_equirect(256, 512) if with_sky else None
-    return scene_types.make_scene(env_map=env, **kw)
+    scene = scene_types.make_scene(env_map=env, **kw)
+    if return_host:
+        pos, idx = kw["positions"], kw["indices"]
+        return scene, (pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]])
+    return scene
 
 
 def atrium_camera(aspect: float = 16.0 / 9.0):

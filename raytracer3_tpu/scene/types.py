@@ -51,6 +51,11 @@ class EmissiveTable(NamedTuple):
     cdf: jax.Array  # [L] normalized cumulative area (for proportional pick)
     total_area: jax.Array  # [] sum of areas
     count: jax.Array  # [] int32 number of valid entries
+    # Denormalized per-light row for single-gather NEE:
+    # v0(3) e1(3) e2(3) emission·12(3) valid(1) pad(3). XLA per-lane gathers
+    # cost ~4.5 ms per [N]-row fetch on v5e regardless of table size, so the
+    # light fetch must be ONE row gather, not 7 (positions/indices/material).
+    light_table: Optional[jax.Array] = None  # [L, 16] f32
 
 
 class Scene(NamedTuple):
@@ -67,6 +72,12 @@ class Scene(NamedTuple):
     textures: Optional[jax.Array]
     env_map: Optional[jax.Array]  # [He, We, 3] equirect HDR (postprocess.slang:104)
     emissive: EmissiveTable
+    # Denormalized per-triangle shading row (single-gather hit_info):
+    # n0(3) n1(3) n2(3) uv0(2) uv1(2) uv2(2) geo_id(1) = 16 lanes.
+    shade_table: Optional[jax.Array] = None  # [T, 16] f32
+    # Material row table for one-hot MXU fetch (G is small):
+    # base_color(3) emission·12(3) metallic(1) roughness(1) tex_id(1) pad(3).
+    mat_table: Optional[jax.Array] = None  # [G, 12] f32
 
     @property
     def num_triangles(self) -> int:
@@ -147,14 +158,53 @@ def sample_texture_array(textures: jax.Array, tex_id: jax.Array, uv: jax.Array) 
     return jnp.where(tex_id[:, None] < 0, 1.0, c)
 
 
+def _onehot_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """rows = one_hot(ids) @ table — MXU fetch for small tables (gathers cost
+    ~4.5 ms per [N] fetch on v5e; a [N, G] one-hot matmul is ~free for small
+    G). f32-exact."""
+    m = table.shape[0]
+    onehot = (
+        ids[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    return jax.lax.dot(
+        onehot, table, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def hit_surface_info(scene: Scene, prim_id: jax.Array, uv: jax.Array) -> SurfaceInfo:
     """Batched ``hit_info`` (hit_logic.slang:5-39): fetch triangle, interpolate
     attributes with barycentrics, apply material + base-color texture.
 
     prim_id: [N] triangle ids (clamped gather; callers mask misses).
     uv: [N, 2] barycentric (u, v).
+
+    Fast path (shade_table present): ONE [N, 16] row gather + a one-hot
+    material matmul replace ~10 separate per-lane gathers.
     """
     pid = jnp.clip(prim_id, 0, scene.num_triangles - 1)
+    if scene.shade_table is not None and scene.mat_table is not None:
+        row = scene.shade_table[pid]  # [N, 16] — the single gather
+        w0 = (1.0 - uv[:, 0] - uv[:, 1])[:, None]
+        w1 = uv[:, 0:1]
+        w2 = uv[:, 1:2]
+        normal = mathx.normalize(
+            row[:, 0:3] * w0 + row[:, 3:6] * w1 + row[:, 6:9] * w2
+        )
+        tex_uv = row[:, 9:11] * w0 + row[:, 11:13] * w1 + row[:, 13:15] * w2
+        g = row[:, 15].astype(jnp.int32)
+        mat = _onehot_rows(scene.mat_table, g)  # [N, 12]
+        color = mat[:, 0:3]
+        if scene.textures is not None:
+            tex_id = mat[:, 8].astype(jnp.int32)
+            color = color * sample_texture_array(scene.textures, tex_id, tex_uv)
+        return SurfaceInfo(
+            albedo=color,
+            emissive=mat[:, 3:6],
+            normal=normal,
+            roughness=mat[:, 7],
+            metalness=mat[:, 6],
+        )
     tri = scene.indices[pid]  # [N, 3]
     w = jnp.stack([1.0 - uv[:, 0] - uv[:, 1], uv[:, 0], uv[:, 1]], axis=-1)  # [N, 3]
 
@@ -219,12 +269,23 @@ def build_emissive_table(
     areas_p = np.pad(areas, (0, pad))
     cdf = np.cumsum(areas_p)
     cdf = cdf / max(cdf[-1], 1e-30)
+    # Denormalized light rows (see EmissiveTable.light_table): one gather
+    # replaces indices+positions+material fetches during NEE.
+    lt = np.zeros((size, 16), np.float32)
+    if n:
+        em_rows = emission[geo_id[ids]] * EMISSION_SCALE
+        lt[:n, 0:3] = v0
+        lt[:n, 3:6] = v1 - v0
+        lt[:n, 6:9] = v2 - v0
+        lt[:n, 9:12] = em_rows
+        lt[:n, 12] = 1.0  # valid
     return EmissiveTable(
         tri_ids=jnp.asarray(ids_p, jnp.int32),
         areas=jnp.asarray(areas_p, jnp.float32),
         cdf=jnp.asarray(cdf, jnp.float32),
         total_area=jnp.asarray(total, jnp.float32),
         count=jnp.asarray(n, jnp.int32),
+        light_table=jnp.asarray(lt),
     )
 
 
@@ -246,6 +307,31 @@ def make_scene(
     g = len(base_color)
     if base_color_texture is None:
         base_color_texture = np.full(g, -1, np.int32)
+
+    positions = np.asarray(positions, np.float32)
+    normals = np.asarray(normals, np.float32)
+    uvs = np.asarray(uvs, np.float32)
+    indices = np.asarray(indices, np.int32)
+    geo_id = np.asarray(geo_id, np.int32)
+
+    # Denormalized per-triangle shading rows (host-side; one gather at hit).
+    t = indices.shape[0]
+    st = np.zeros((t, 16), np.float32)
+    st[:, 0:3] = normals[indices[:, 0]]
+    st[:, 3:6] = normals[indices[:, 1]]
+    st[:, 6:9] = normals[indices[:, 2]]
+    st[:, 9:11] = uvs[indices[:, 0]]
+    st[:, 11:13] = uvs[indices[:, 1]]
+    st[:, 13:15] = uvs[indices[:, 2]]
+    st[:, 15] = geo_id.astype(np.float32)
+
+    mt = np.zeros((g, 12), np.float32)
+    mt[:, 0:3] = np.asarray(base_color, np.float32)[:, :3]
+    mt[:, 3:6] = np.asarray(emission, np.float32) * EMISSION_SCALE
+    mt[:, 6] = np.asarray(metallic, np.float32)
+    mt[:, 7] = np.asarray(roughness, np.float32)
+    mt[:, 8] = np.asarray(base_color_texture, np.float32)
+
     return Scene(
         positions=jnp.asarray(positions, jnp.float32),
         normals=jnp.asarray(normals, jnp.float32),
@@ -262,4 +348,6 @@ def make_scene(
         textures=None if textures is None else jnp.asarray(textures, jnp.float32),
         env_map=None if env_map is None else jnp.asarray(env_map, jnp.float32),
         emissive=build_emissive_table(positions, indices, geo_id, emission),
+        shade_table=jnp.asarray(st),
+        mat_table=jnp.asarray(mt),
     )

@@ -87,14 +87,15 @@ class TestClosestHit:
         o, d = _primary_rays(cam, SUBLANES * 128)
         _check_against_bruteforce(pt, o, d, v0, v1, v2)
 
-    def test_use_masks_matches_maskless(self, cornell):
+    def test_group_bits_single_group_matches(self, cornell):
+        # Group-skipping must be exact: a wider packet (more groups, so the
+        # group bitmask actually prunes slabs) agrees with a 1-row-group
+        # packet on the same rays.
         cam, v0, v1, v2 = cornell
         pt = _tables(v0, v1, v2)
-        o, d = _primary_rays(cam, SUBLANES * 128)
-        a = tk.packet_intersect(pt, o, d, interpret=True, sublanes=SUBLANES)
-        b = tk.packet_intersect(
-            pt, o, d, interpret=True, sublanes=SUBLANES, use_masks=True
-        )
+        o, d = _primary_rays(cam, 16 * 128)
+        a = tk.packet_intersect(pt, o, d, interpret=True, sublanes=16)
+        b = tk.packet_intersect(pt, o, d, interpret=True, sublanes=8)
         np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
         np.testing.assert_array_equal(np.asarray(a.prim_id), np.asarray(b.prim_id))
         np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-6)
