@@ -127,20 +127,195 @@ class Viewer:
         return 1.0 / (sum(self._timings) / len(self._timings))
 
 
-def make_default_frame_fn(scene, settings: RenderSettings, intersect_fn, occluded_fn):
-    """Standard progressive frame: wavefront PT + film blend + AgX display."""
+def make_default_frame_fn(
+    scene, settings: RenderSettings, intersect_fn=None, occluded_fn=None,
+    backend=None,
+):
+    """Standard progressive frame: wavefront PT + film blend + AgX display.
+
+    Prefer ``backend=`` (TraceBackend): scene + BVH tables then cross the jit
+    boundary as arguments (ops/backend.py)."""
     from raytracer3_tpu.render import wavefront
 
     @jax.jit
-    def frame(film, cam, fi):
+    def _frame(scene_, bvh, film, cam, fi):
+        if backend is not None:
+            isect, occl = backend.bind(bvh)
+        else:
+            isect, occl = intersect_fn, occluded_fn
         radiance = wavefront.render_frame(
-            scene, cam, settings, fi, intersect_fn, occluded_fn
+            scene_, cam, settings, fi, isect, occl,
+            sort_rays=backend is not None,
         )
         film2 = film_mod.accumulate_progressive(film, radiance)
         display = postprocess.postprocess(film2.accum)
         return film2, display
 
+    bvh = None if backend is None else backend.arrays
+
+    def frame(film, cam, fi):
+        return _frame(scene, bvh, film, cam, fi)
+
     return frame
+
+
+class InteractiveSession:
+    """Line-protocol interactive loop — the winit-event analog
+    (src/components/camera.rs:90-125: RMB grab → mouse look, WASD keys).
+
+    Commands (one per line on the input stream):
+
+      move <x> <y> <z>     set continuous move state (A/D, Shift/Space, S/W)
+      look <dx> <dy>       accumulate a mouse-look delta (radians-ish)
+      stop                 zero the move state
+      reset                reset film accumulation
+      set <knob> <value>   change a RenderSettings knob via the tuner
+                           (static knobs recompile, like the Constants Editor)
+      save <path>          write the current display to a PNG
+      stats                emit a JSON status line
+      quit                 drain and exit
+
+    Every frame emits nothing; `stats` (and exit) emit a JSON line
+    {"frame": n, "fps": f, "spp": n_accum}. Run it:
+
+      python -m raytracer3_tpu.app.viewer --width 960 --height 544
+    """
+
+    def __init__(self, viewer: Viewer, rebuild=None):
+        self.viewer = viewer
+        self.rebuild = rebuild  # optional: (settings) -> new frame_fn
+
+    def status(self) -> dict:
+        v = self.viewer
+        return {
+            "frame": v.frame_index,
+            "fps": round(v.fps, 2),
+            "spp": int(v.film.frame_index),
+        }
+
+    def handle(self, line: str) -> bool:
+        """Apply one command; returns False on quit."""
+        import json as json_mod
+
+        v = self.viewer
+        parts = line.strip().split()
+        if not parts:
+            return True
+        cmd, args = parts[0], parts[1:]
+        if cmd == "quit":
+            return False
+        elif cmd == "move":
+            v.controls.move_x, v.controls.move_y, v.controls.move_z = (
+                float(args[0]), float(args[1]), float(args[2])
+            )
+        elif cmd == "look":
+            v.controls.look_dx += float(args[0])
+            v.controls.look_dy += float(args[1])
+        elif cmd == "stop":
+            v.controls.move_x = v.controls.move_y = v.controls.move_z = 0.0
+        elif cmd == "reset":
+            v.film = film_mod.reset(v.film)
+        elif cmd == "set" and self.rebuild is not None:
+            from raytracer3_tpu.app import tuner as tuner_mod
+
+            knobs = tuner_mod.SettingsTuner(v.settings)
+            new_settings, _ = knobs.apply(" ".join(args))
+            if knobs.consume_recompile_flag():
+                v.settings = new_settings
+                v.frame_fn = self.rebuild(v.settings)
+                v.film = film_mod.Film.create(
+                    v.settings.height, v.settings.width
+                )
+                v.frame_index = 0
+        elif cmd == "save":
+            disp = v.drain()
+            if disp is not None:
+                image_io.write_png(args[0], np.asarray(disp))
+        elif cmd == "stats":
+            print(json_mod.dumps(self.status()), flush=True)
+        return True
+
+    def run(self, stream=None, max_frames: Optional[int] = None):
+        """Pump frames, applying commands as they arrive (non-blocking)."""
+        import json as json_mod
+        import select
+        import sys
+
+        stream = stream if stream is not None else sys.stdin
+        last = time.perf_counter()
+        while max_frames is None or self.viewer.frame_index < max_frames:
+            # Drain pending commands without blocking the frame loop.
+            while True:
+                r, _, _ = select.select([stream], [], [], 0)
+                if not r:
+                    break
+                line = stream.readline()
+                if not line or not self.handle(line):
+                    self.viewer.drain()
+                    print(json_mod.dumps(self.status()), flush=True)
+                    return
+            now = time.perf_counter()
+            self.viewer.step(dt=now - last)
+            last = now
+        self.viewer.drain()
+        print(json_mod.dumps(self.status()), flush=True)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Interactive progressive viewer")
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=544)
+    ap.add_argument("--bounces", type=int, default=4)
+    ap.add_argument("--detail", type=int, default=2)
+    ap.add_argument("--glb", type=str, default=None, help="render a GLB scene")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--backend", type=str, default="auto")
+    args = ap.parse_args(argv)
+
+    from raytracer3_tpu.app import world as world_mod
+    from raytracer3_tpu.scene import procedural
+    from raytracer3_tpu.utils import runtime
+
+    runtime.init_compilation_cache()
+    w = world_mod.World()
+    if args.glb:
+        from raytracer3_tpu.scene import assets
+
+        md = assets.load_glb_cached(args.glb)
+        w.spawn(w.add_mesh_data(md), name="glb")
+    else:
+        kw = procedural.atrium(detail=args.detail)
+        import numpy as _np
+
+        for i in range(len(kw["base_color"])):
+            w.add_material(
+                kw["base_color"][i], kw["emission"][i],
+                kw["metallic"][i], kw["roughness"][i],
+            )
+        w.spawn(
+            w.add_mesh(
+                kw["positions"], kw["normals"], kw["uvs"], kw["indices"],
+                kw["geo_id"],
+            ),
+            name="atrium",
+        )
+        w.env_map = procedural.sky_equirect(256, 512)
+    scene = w.scene()
+    backend = w.trace_backend(args.backend)
+    cam = procedural.atrium_camera(aspect=args.width / args.height)
+
+    settings = RenderSettings(
+        width=args.width, height=args.height, bounces=args.bounces, samples=1,
+        radiance_clamp=50.0,
+    )
+
+    def rebuild(s):
+        return make_default_frame_fn(scene, s, backend=backend)
+
+    viewer = Viewer(rebuild(settings), cam, settings)
+    InteractiveSession(viewer, rebuild=rebuild).run(max_frames=args.frames)
 
 
 def render_offline(
@@ -170,3 +345,7 @@ def render_offline(
     if out_path:
         image_io.write_png(out_path, img)
     return img
+
+
+if __name__ == "__main__":
+    main()

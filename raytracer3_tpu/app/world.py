@@ -122,6 +122,97 @@ class World:
         pos, idx = flat["positions"], flat["indices"]
         return pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
 
+    # -- instanced (TLAS/BLAS) path ------------------------------------------
+    # Reference: per-mesh BLAS built once, TLAS over instances rebuilt on
+    # edits (vulkan/raytracing.rs:88-148, world/mod.rs:137-154). Geometry and
+    # shading tables stay in OBJECT space; a set_transform costs O(instances)
+    # host work + re-upload of the small TLAS/instance/emissive tables, with
+    # no vertex re-bake and no recompile (array shapes are stable).
+
+    def _mesh_list(self):
+        mids = sorted(self.pool._meshes)
+        return mids, [self.pool._meshes[m] for m in mids]
+
+    def _instance_list(self, mids):
+        mesh_index = {m: i for i, m in enumerate(mids)}
+        insts = sorted(self.pool._instances.values(), key=lambda i: i.instance_id)
+        return [(mesh_index[i.mesh_id], i.transform) for i in insts]
+
+    def scene_instanced(self) -> scene_types.Scene:
+        """Object-space scene for TLAS tracing: mesh-concatenated geometry +
+        per-instance normal matrices + world-space (instanced) light table."""
+        sv = self.pool.structural_version
+        tv = self.pool.transform_version
+        if getattr(self, "_inst_scene_sv", None) != sv:
+            mids, meshes = self._mesh_list()
+            positions = np.concatenate([m["positions"] for m in meshes])
+            normals = np.concatenate([m["normals"] for m in meshes])
+            uvs = np.concatenate([m["uvs"] for m in meshes])
+            voff = 0
+            idx_parts, geo_parts = [], []
+            for m in meshes:
+                idx_parts.append(m["indices"] + voff)
+                geo_parts.append(m["geo_id"])
+                voff += len(m["positions"])
+            self._inst_scene_base = scene_types.make_scene(
+                positions=positions,
+                normals=normals,
+                uvs=uvs,
+                indices=np.concatenate(idx_parts),
+                geo_id=np.concatenate(geo_parts),
+                base_color=np.stack(self._materials["base_color"]),
+                emission=np.stack(self._materials["emission"]),
+                metallic=np.asarray(self._materials["metallic"]),
+                roughness=np.asarray(self._materials["roughness"]),
+                env_map=self.env_map,
+            )
+            self._inst_scene_sv = sv
+            self._inst_scene_tv = None
+        if getattr(self, "_inst_scene_tv", None) != tv:
+            import jax.numpy as jnp
+
+            mids, meshes = self._mesh_list()
+            instances = self._instance_list(mids)
+            nmats = np.stack(
+                [
+                    (
+                        np.linalg.inv(t[:3, :3]).T
+                        if abs(np.linalg.det(t[:3, :3])) > 1e-12
+                        else t[:3, :3]
+                    ).reshape(-1)
+                    for _, t in instances
+                ]
+            ).astype(np.float32)
+            emissive = scene_types.build_emissive_table_instanced(
+                meshes, instances, np.stack(self._materials["emission"])
+            )
+            self._inst_scene = self._inst_scene_base._replace(
+                emissive=emissive,
+                inst_normal_mats=jnp.asarray(nmats),
+            )
+            self._inst_scene_tv = tv
+        return self._inst_scene
+
+    def tlas_backend(self, **kw):
+        """Two-level TraceBackend; BLASes cached across transform edits."""
+        sv = self.pool.structural_version
+        tv = self.pool.transform_version
+        key = (sv, tv)
+        if getattr(self, "_tlas_key", None) == key:
+            return self._tlas_backend
+        if getattr(self, "_blas_cache_sv", None) != sv:
+            self._blas_cache = {}
+            self._blas_cache_sv = sv
+        from raytracer3_tpu.ops import tlas as tlas_mod
+
+        mids, meshes = self._mesh_list()
+        instances = self._instance_list(mids)
+        self._tlas_backend = tlas_mod.two_level_backend(
+            meshes, instances, blas_cache=self._blas_cache, **kw
+        )
+        self._tlas_key = key
+        return self._tlas_backend
+
     def trace_backend(self, kind: str = "auto", **kw):
         """TraceBackend for the current scene (arrays-as-arguments style —
         required on tunneled TPUs, see ops/backend.py)."""

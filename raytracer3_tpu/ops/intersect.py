@@ -32,6 +32,10 @@ class Hit(NamedTuple):
     uv: jax.Array  # [N, 2] barycentric (u, v)
     prim_id: jax.Array  # [N] triangle index, -1 on miss
     hit: jax.Array  # [N] bool
+    # Instance id for two-level (TLAS/BLAS) backends, -1/None otherwise
+    # (the instanceId the reference's RayPayload carries implicitly via
+    # gl_InstanceID in default_hit.slang).
+    inst: jax.Array | None = None
 
     @staticmethod
     def miss(shape) -> "Hit":

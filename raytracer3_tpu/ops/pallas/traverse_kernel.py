@@ -78,6 +78,25 @@ class PacketTables(NamedTuple):
     num_clusters: int
     width: int = 8
     depth: int = 1  # tree depth (root = 1) — sizes the traversal stack
+    # Two-level (TLAS/BLAS) extras — None/0 for single-level tables.
+    inst_table: jax.Array | None = None  # [I, 32] f32 (ops/tlas.py layout)
+    tlas_nodes: int = 0
+
+
+def pack_two_level(tl) -> PacketTables:
+    """ops/tlas.TwoLevelTables → kernel tables (cluster rows already packed
+    in kernel layout by build_mesh_blas)."""
+    return PacketTables(
+        node_table=jnp.asarray(tl.node_table),
+        cluster_table=jnp.asarray(tl.cluster_table),
+        leaf_size=tl.leaf_size,
+        num_nodes=tl.num_nodes,
+        num_clusters=tl.num_clusters,
+        width=tl.width,
+        depth=tl.depth,
+        inst_table=jnp.asarray(tl.inst_table),
+        tlas_nodes=tl.tlas_nodes,
+    )
 
 
 def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
@@ -105,20 +124,38 @@ def _kernel(
     rays_ref,  # [1, 8, S, 128]: attr (ox oy oz dx dy dz tmax unused)
     nodes_ref,  # [M, 64|128]
     clusters_ref,  # [C, 128]
-    out_ref,  # [1, 4, S, 128]: t, u, v, prim_id(f32 bits)
-    *,
+    *rest,  # ([I, 32] inst table if two_level) out_ref, ([1,8] SMEM if stats)
     leaf_size: int,
     any_hit: bool,
     t_min: float,
     width: int = 8,
     stack: int = STACK,
+    stats: bool = False,
+    clusters_hbm: bool = False,
+    two_level: bool = False,
+    tlas_nodes: int = 0,
+    num_clusters: int = 0,
 ):
+    if two_level:
+        inst_ref, out_ref, *maybe_stats_ref = rest
+    else:
+        inst_ref = None
+        out_ref, *maybe_stats_ref = rest
+    stats_ref = maybe_stats_ref[0] if stats else None
     sublanes = rays_ref.shape[2]
     n_groups = max(1, sublanes // GROUP_ROWS)
     rows = sublanes // n_groups
     all_bits = -1 if n_groups >= 32 else (1 << n_groups) - 1
+    out_ch = 5 if two_level else 4
+    pid = pl.program_id(0) if stats else None
 
-    def scoped(stack_ref, gbits_ref):
+    def scoped(*scratch):
+        it = iter(scratch)
+        stack_ref = next(it)
+        gbits_ref = next(it)
+        cbuf_ref = next(it) if clusters_hbm else None
+        csem_ref = next(it) if clusters_hbm else None
+        tray_ref = next(it) if two_level else None
         ox = rays_ref[0, 0]
         oy = rays_ref[0, 1]
         oz = rays_ref[0, 2]
@@ -128,9 +165,31 @@ def _kernel(
         t_cap = rays_ref[0, 6]
 
         eps = 1e-12
-        ix = 1.0 / jnp.where(jnp.abs(dx) < eps, eps, dx)
-        iy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
-        iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
+
+        def inv3(a, b, c):
+            return (
+                1.0 / jnp.where(jnp.abs(a) < eps, eps, a),
+                1.0 / jnp.where(jnp.abs(b) < eps, eps, b),
+                1.0 / jnp.where(jnp.abs(c) < eps, eps, c),
+            )
+
+        ix, iy, iz = inv3(dx, dy, dz)
+        world_rays = (ox, oy, oz, dx, dy, dz, ix, iy, iz)
+
+        if two_level:
+            # Traversal reads rays from the tray scratch: object-space while
+            # inside a BLAS (rays mapped through the instance's inverse
+            # transform; the hit parameter t is affine-invariant so best_t
+            # needs no conversion), world-space at the TLAS.
+            for k in range(9):
+                tray_ref[k] = world_rays[k]
+
+            def ray_slice(k, sl):
+                return tray_ref[k, sl]
+        else:
+
+            def ray_slice(k, sl):
+                return world_rays[k][sl]
 
         # Hit state lives in the output ref so leaf groups can update their
         # own [rows, 128] slab without touching the rest of the packet.
@@ -138,6 +197,8 @@ def _kernel(
         out_ref[0, 1] = jnp.zeros_like(ox)  # u
         out_ref[0, 2] = jnp.zeros_like(ox)  # v
         out_ref[0, 3] = jnp.full_like(ox, -1.0)  # prim id (float)
+        if two_level:
+            out_ref[0, 4] = jnp.full_like(ox, -1.0)  # instance id (float)
 
         stack_ref[0] = 0  # root
         gbits_ref[0] = jnp.int32(all_bits)
@@ -146,11 +207,11 @@ def _kernel(
         # condition reading a mutated ref never terminates in interpret mode,
         # and a carried scalar also spares Mosaic one SMEM round-trip per
         # iteration.
-        def cond(sp):
-            return sp > 0
+        def cond(carry):
+            return carry[0] > 0
 
-        def body(sp):
-            sp = sp - 1
+        def body(carry):
+            sp = carry[0] - 1
             entry = stack_ref[sp]
             mbits = gbits_ref[sp]
 
@@ -178,8 +239,12 @@ def _kernel(
                     """Row-folded min-tn per child slot over group g's rays
                     ([width, 128]; inf where the slot's box was missed)."""
                     sl = slice(g * rows, (g + 1) * rows)
-                    gox, goy, goz = ox[sl], oy[sl], oz[sl]
-                    gix, giy, giz = ix[sl], iy[sl], iz[sl]
+                    gox, goy, goz = (
+                        ray_slice(0, sl), ray_slice(1, sl), ray_slice(2, sl)
+                    )
+                    gix, giy, giz = (
+                        ray_slice(6, sl), ray_slice(7, sl), ray_slice(8, sl)
+                    )
                     bt = out_ref[0, 0, sl]
                     masked = []
                     for s in range(width):
@@ -264,9 +329,21 @@ def _kernel(
 
                 return jnp.minimum(sp + pushed, stack)
 
-            def handle_leaf(sp):
+            def handle_leaf(sp, cur_inst=None):
                 cl = -entry - 2  # int32 leaf code
-                crow = clusters_ref[cl]  # [128]
+                if clusters_hbm:
+                    # Cluster table lives in HBM (Sponza-scale scenes exceed
+                    # VMEM); DMA the row in at pop time. The whole packet
+                    # shares one row, so the fetch amortizes over up to
+                    # sublanes×128 rays.
+                    dma = pltpu.make_async_copy(
+                        clusters_ref.at[pl.ds(cl, 1)], cbuf_ref, csem_ref
+                    )
+                    dma.start()
+                    dma.wait()
+                    crow = cbuf_ref[0]
+                else:
+                    crow = clusters_ref[cl]  # [row_len]
                 # Triangle scalars extracted once; broadcast inside each
                 # active group's predicated body.
                 tris = []
@@ -286,12 +363,19 @@ def _kernel(
                     @pl.when(((mbits >> g) & 1) == 1)
                     def _(g=g):
                         sl = slice(g * rows, (g + 1) * rows)
-                        gox, goy, goz = ox[sl], oy[sl], oz[sl]
-                        gdx, gdy, gdz = dx[sl], dy[sl], dz[sl]
+                        gox, goy, goz = (
+                            ray_slice(0, sl), ray_slice(1, sl), ray_slice(2, sl)
+                        )
+                        gdx, gdy, gdz = (
+                            ray_slice(3, sl), ray_slice(4, sl), ray_slice(5, sl)
+                        )
                         bt = out_ref[0, 0, sl]
                         bu = out_ref[0, 1, sl]
                         bv = out_ref[0, 2, sl]
                         bid = out_ref[0, 3, sl]
+                        if two_level:
+                            binst = out_ref[0, 4, sl]
+                            hit_any = jnp.zeros_like(bt, dtype=jnp.bool_)
                         for (
                             v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, tid
                         ) in tris:
@@ -326,29 +410,123 @@ def _kernel(
                             bu = jnp.where(ok, uu, bu)
                             bv = jnp.where(ok, vv, bv)
                             bid = jnp.where(ok, tid, bid)
+                            if two_level:
+                                hit_any = hit_any | ok
                         out_ref[0, 0, sl] = bt
                         out_ref[0, 1, sl] = bu
                         out_ref[0, 2, sl] = bv
                         out_ref[0, 3, sl] = bid
+                        if two_level:
+                            out_ref[0, 4, sl] = jnp.where(
+                                hit_any, cur_inst.astype(jnp.float32), binst
+                            )
 
                 return sp
 
-            sp = jax.lax.cond(entry >= 0, handle_node, handle_leaf, sp)
+            if not two_level:
+                sp = jax.lax.cond(entry >= 0, handle_node, handle_leaf, sp)
+            else:
+                cur_inst = carry[1]
+
+                def on_node(args):
+                    sp, cur_inst = args
+                    is_tlas = entry < tlas_nodes
+
+                    # Popping back out to the TLAS: restore world-space rays
+                    # (a pushed BLAS subtree always pops contiguously, so the
+                    # tray is only ever stale when a TLAS entry pops).
+                    @pl.when(is_tlas & (cur_inst >= 0))
+                    def _():
+                        for k in range(9):
+                            tray_ref[k] = world_rays[k]
+
+                    cur_inst = jnp.where(is_tlas, jnp.int32(-1), cur_inst)
+                    return handle_node(sp), cur_inst
+
+                def on_neg(args):
+                    sp, cur_inst = args
+                    cl = -entry - 2
+
+                    def on_cluster(args):
+                        sp, cur_inst = args
+                        return handle_leaf(sp, cur_inst), cur_inst
+
+                    def on_instance(args):
+                        # TLAS leaf: map rays into the instance's object
+                        # space and descend into its BLAS (raytracing.rs
+                        # TLAS→BLAS hop; t is affine-invariant).
+                        sp, _ = args
+                        inst = cl - num_clusters
+                        irow = inst_ref[inst]
+                        m = [irow[k] for k in range(12)]  # inv M rows [R|t]
+                        tox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+                        toy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+                        toz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+                        tdx = m[0] * dx + m[1] * dy + m[2] * dz
+                        tdy = m[4] * dx + m[5] * dy + m[6] * dz
+                        tdz = m[8] * dx + m[9] * dy + m[10] * dz
+                        tix, tiy, tiz = inv3(tdx, tdy, tdz)
+                        for k, v in enumerate(
+                            (tox, toy, toz, tdx, tdy, tdz, tix, tiy, tiz)
+                        ):
+                            tray_ref[k] = v
+                        pos = jnp.minimum(sp, stack - 1)
+                        stack_ref[pos] = irow[12].astype(jnp.int32)  # blas root
+                        gbits_ref[pos] = mbits
+                        return jnp.minimum(sp + 1, stack), inst
+
+                    return jax.lax.cond(
+                        cl < num_clusters, on_cluster, on_instance,
+                        (sp, cur_inst),
+                    )
+
+                sp, cur_inst = jax.lax.cond(
+                    entry >= 0, on_node, on_neg, (sp, cur_inst)
+                )
             if any_hit:
                 # Terminate the packet when every live ray is blocked
                 # (padding rays carry t_cap <= t_min and count as done).
                 done = (out_ref[0, 3] >= 0.0) | (t_cap <= t_min)
                 sp = jnp.where(jnp.all(done), 0, sp)
 
-            return sp
+            head = (sp, cur_inst) if two_level else (sp,)
+            if not stats:
+                return head
+            sbase = len(head)
+            is_node = (entry >= 0).astype(jnp.int32)
+            pc = jnp.int32(0)
+            for g in range(n_groups):
+                pc = pc + ((mbits >> g) & 1)
+            return head + (
+                carry[sbase] + is_node,
+                carry[sbase + 1] + (1 - is_node),
+                carry[sbase + 2] + is_node * pc,
+                carry[sbase + 3] + (1 - is_node) * pc,
+            )
 
-        jax.lax.while_loop(cond, body, jnp.int32(1))
+        init = (jnp.int32(1),)
+        if two_level:
+            init = init + (jnp.int32(-1),)  # cur_inst: world space
+        if stats:
+            init = init + (jnp.int32(0),) * 4
+        final = jax.lax.while_loop(cond, body, init)
+        if stats:
+            sbase = 2 if two_level else 1
+            stats_ref[pid, 0] = final[sbase]  # node pops
+            stats_ref[pid, 1] = final[sbase + 1]  # leaf pops
+            stats_ref[pid, 2] = final[sbase + 2]  # node group activations
+            stats_ref[pid, 3] = final[sbase + 3]  # leaf group activations
 
-    pl.run_scoped(
-        scoped,
+    shapes = [
         pltpu.SMEM((stack,), jnp.int32),
         pltpu.SMEM((stack,), jnp.int32),
-    )
+    ]
+    if clusters_hbm:
+        shapes.append(pltpu.VMEM((1, clusters_ref.shape[1]), jnp.float32))
+        shapes.append(pltpu.SemaphoreType.DMA(()))
+    if two_level:
+        shapes.append(pltpu.VMEM((9, sublanes, 128), jnp.float32))
+    pl.run_scoped(scoped, *shapes)
 
 
 def packet_intersect(
@@ -360,9 +538,14 @@ def packet_intersect(
     any_hit: bool = False,
     interpret: bool = False,
     sublanes: int = PACKET_SUBLANES,
+    stats: bool = False,
+    clusters_hbm: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the packet kernel. N is padded to a multiple
-    of PACKET; callers should order rays coherently (tiles / sorted queues)."""
+    of PACKET; callers should order rays coherently (tiles / sorted queues).
+
+    stats=True additionally returns per-packet counters [G, 8] int32:
+    (node pops, leaf pops, node group activations, leaf group activations)."""
     n = origins.shape[0]
     packet = sublanes * 128
     g = (n + packet - 1) // packet
@@ -378,46 +561,80 @@ def packet_intersect(
     )  # [8, G*packet]
     rays = rays.reshape(8, g, sublanes, 128).transpose(1, 0, 2, 3)
 
-    # Worst case ≤ (width-1) siblings left per level + the entry in flight.
-    stack = max(STACK, (pt.width - 1) * pt.depth + 1)
+    # Worst case ≤ (width-1) siblings left per level + the entry in flight
+    # (+1 per TLAS→BLAS hop, covered by the summed two-level depth).
+    stack = max(STACK, (pt.width - 1) * pt.depth + 1 + pt.depth)
+    two_level = pt.inst_table is not None
+    out_ch = 5 if two_level else 4
     kernel = functools.partial(
         _kernel, leaf_size=pt.leaf_size, any_hit=any_hit, t_min=t_min,
-        width=pt.width, stack=stack,
+        width=pt.width, stack=stack, stats=stats, clusters_hbm=clusters_hbm,
+        two_level=two_level, tlas_nodes=pt.tlas_nodes,
+        num_clusters=pt.num_clusters,
     )
+    cluster_space = pltpu.ANY if clusters_hbm else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((1, 8, sublanes, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=cluster_space),
+    ]
+    inputs = [rays, pt.node_table, pt.cluster_table]
+    if two_level:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(pt.inst_table)
+    out_specs = pl.BlockSpec(
+        (1, out_ch, sublanes, 128), lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((g, out_ch, sublanes, 128), jnp.float32)
+    if stats:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole array, per-packet rows
+        )
+        out_shape = (out_shape, jax.ShapeDtypeStruct((g, 8), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 8, sublanes, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 4, sublanes, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((g, 4, sublanes, 128), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(rays, pt.node_table, pt.cluster_table)
+    )(*inputs)
 
-    out = out.transpose(1, 0, 2, 3).reshape(4, g * packet)[:, :n]
+    if stats:
+        out, stat_rows = out
+    out = out.transpose(1, 0, 2, 3).reshape(out_ch, g * packet)[:, :n]
     best_t, u, v, fid = out[0], out[1], out[2], out[3]
     prim_id = fid.astype(jnp.int32)
     found = prim_id >= 0
-    return intersect.Hit(
+    hit = intersect.Hit(
         t=jnp.where(found, best_t, _BG),
         uv=jnp.stack([u, v], axis=-1),
         prim_id=prim_id,
         hit=found,
+        inst=out[4].astype(jnp.int32) if two_level else None,
     )
+    if stats:
+        return hit, stat_rows
+    return hit
+
+
+# Cluster tables beyond this VMEM share spill to HBM with per-leaf DMA
+# (VMEM is ~16 MiB/core; rays/out/nodes need several MiB of it).
+CLUSTERS_VMEM_LIMIT = 6 * 1024 * 1024
 
 
 def packet_backend(
     scene=None, leaf_size: int = 12, interpret: bool = False,
     sublanes: int = PACKET_SUBLANES, width: int = 16,
-    host_tris=None,
+    host_tris=None, clusters_hbm: bool | None = None,
 ):
     """Build a TraceBackend whose tables travel as jit arguments (see
-    ops/backend.py for why closures over device tables are forbidden)."""
+    ops/backend.py for why closures over device tables are forbidden).
+
+    clusters_hbm=None auto-selects: tables that don't fit VMEM alongside the
+    rays go to HBM with per-leaf DMA (Sponza-scale scenes)."""
     from raytracer3_tpu.ops.backend import TraceBackend
 
     if host_tris is not None:
@@ -426,6 +643,10 @@ def packet_backend(
         v0, v1, v2 = scene.tri_vertices()
     cb = cb_mod.build_cluster_bvh_host(v0, v1, v2, leaf_size, width=width)
     pt = pack_tables(cb)
+    if clusters_hbm is None:
+        clusters_hbm = (
+            pt.cluster_table.size * 4 > CLUSTERS_VMEM_LIMIT
+        )
     meta = pt._replace(node_table=None, cluster_table=None)
     arrays = {"nodes": pt.node_table, "clusters": pt.cluster_table}
 
@@ -433,7 +654,10 @@ def packet_backend(
         pt2 = meta._replace(
             node_table=arrays["nodes"], cluster_table=arrays["clusters"]
         )
-        return packet_intersect(pt2, o, d, interpret=interpret, sublanes=sublanes)
+        return packet_intersect(
+            pt2, o, d, interpret=interpret, sublanes=sublanes,
+            clusters_hbm=clusters_hbm,
+        )
 
     def occl_fn(arrays, o, d, tmax):
         pt2 = meta._replace(
@@ -441,7 +665,7 @@ def packet_backend(
         )
         return packet_intersect(
             pt2, o, d, t_max=tmax, any_hit=True, interpret=interpret,
-            sublanes=sublanes,
+            sublanes=sublanes, clusters_hbm=clusters_hbm,
         ).hit
 
     return TraceBackend(arrays, isect_fn, occl_fn, meta=pt)

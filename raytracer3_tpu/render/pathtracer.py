@@ -48,7 +48,7 @@ def trace_gbuffer(
 ) -> GBuffer:
     """Primary rays → G-buffer (gbuffer.slang:8-20)."""
     h = intersect_fn(origins, directions)
-    surface = scene_types.hit_surface_info(scene, h.prim_id, h.uv)
+    surface = scene_types.hit_surface_info(scene, h.prim_id, h.uv, h.inst)
     return GBuffer(depth=h.t, surface=surface, prim_id=h.prim_id, hit=h.hit)
 
 
@@ -165,7 +165,7 @@ def trace_radiance(
                 )
                 alive = alive & h.hit
                 depth = h.t
-                surface = scene_types.hit_surface_info(scene, h.prim_id, h.uv)
+                surface = scene_types.hit_surface_info(scene, h.prim_id, h.uv, h.inst)
 
         if settings.radiance_clamp > 0.0:
             sample_radiance = jnp.minimum(sample_radiance, settings.radiance_clamp)

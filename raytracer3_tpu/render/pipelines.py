@@ -93,13 +93,27 @@ def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn=None, occlud
     px, py = settings.probe_grid
     r_ = settings.probe_res
     g = FrameGraph()
+    # The G-buffer crosses passes PACKED (uint4 + planar depth), exactly the
+    # reference's layout and bandwidth trade (old/gbuffer.slang:8-20 writes
+    # packed; SIS/interpolate unpack: gbuffer_helpers.slang:13-70).
+    g.image("gbuf_data", (h, w, 4), dtype=jnp.uint32)
+    g.image("gbuf_depth", (h, w))
     g.temporal("probe_atlas", (py * r_, px * r_, 3))
     g.temporal("probe_depth", (py * r_, px * r_))
     g.image("light", (h, w, 3))
     g.image("display", (h, w, 3))
     g.image("sh", (py, px, 3, 9))
 
+    def gbuf(r, cam, frame_index, bindings):
+        isect, _ = _resolve_backend(backend, intersect_fn, occluded_fn, bindings)
+        packed, _hit = probes.trace_packed_gbuffer(
+            bindings["scene"], isect, cam, settings
+        )
+        return {"gbuf_data": packed.data, "gbuf_depth": packed.depth}
+
     def gi(r, cam, frame_index, bindings):
+        from raytracer3_tpu.render import gbuffer as gbuffer_mod
+
         isect, occl = _resolve_backend(
             backend, intersect_fn, occluded_fn, bindings
         )
@@ -108,9 +122,12 @@ def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn=None, occlud
             depth=r["probe_depth@prev"],
             sh_coeffs=jnp.zeros((py, px, 3, 9), jnp.float32),
         )
-        light, state, aux = probes.probe_gi_frame(
-            bindings["scene"], isect, cam, prev, settings, frame_index,
-            blendfactor=blendfactor, occluded_fn=occl,
+        packed = gbuffer_mod.PackedGBuffer(
+            data=r["gbuf_data"], depth=r["gbuf_depth"]
+        )
+        light, state, aux = probes.probe_gi_from_gbuffer(
+            bindings["scene"], isect, cam, packed, prev, settings,
+            frame_index, blendfactor=blendfactor, occluded_fn=occl,
         )
         return {
             "light": light,
@@ -123,8 +140,11 @@ def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn=None, occlud
         return {"display": postprocess.postprocess(r["light"])}
 
     g.add_pass(
+        "gbuffer", gbuf, writes=["gbuf_data", "gbuf_depth"]
+    )
+    g.add_pass(
         "probe_gi", gi,
-        reads=["probe_atlas@prev", "probe_depth@prev"],
+        reads=["gbuf_data", "gbuf_depth", "probe_atlas@prev", "probe_depth@prev"],
         writes=["light", "probe_atlas", "probe_depth", "sh"],
     )
     g.add_pass("post", post, reads=["light"], writes=["display"])

@@ -181,7 +181,7 @@ def trace_probes(
     ray_org = ray_org + nrm * 5e-4  # TMin analog (trace_probes.slang:55)
 
     h = intersect_fn(ray_org, ray_dir)
-    surface = scene_types.hit_surface_info(scene, h.prim_id, h.uv)
+    surface = scene_types.hit_surface_info(scene, h.prim_id, h.uv, h.inst)
 
     # Shade the secondary surface: emissive + (upgrade) one-sample NEE direct
     # light, so probes carry real single-bounce GI.
@@ -301,6 +301,67 @@ def interpolate_probes(
     return jnp.where(sky[..., None], 0.0, light)
 
 
+def trace_packed_gbuffer(
+    scene: scene_types.Scene,
+    intersect_fn: pathtracer.IntersectFn,
+    cam,
+    settings: RenderSettings,
+):
+    """Primary rays → PACKED G-buffer [H, W] (old/gbuffer.slang:8-20 writes
+    the uint4-packed form; the probe passes re-read it from HBM)."""
+    from raytracer3_tpu.render import camera as camera_mod
+    from raytracer3_tpu.render import gbuffer as gbuffer_mod
+
+    w, h = settings.width, settings.height
+    pix = camera_mod.pixel_grid(w, h)
+    o, d = camera_mod.primary_rays(cam, w, h, pixel_xy=pix)
+    gbuf = pathtracer.trace_gbuffer(scene, intersect_fn, o, d)
+    surface2 = jax.tree.map(
+        lambda a: a.reshape((h, w) + a.shape[1:]), gbuf.surface
+    )
+    packed = gbuffer_mod.pack_surface(surface2, gbuf.depth.reshape(h, w))
+    return packed, gbuf.hit.reshape(h, w)
+
+
+def probe_gi_from_gbuffer(
+    scene: scene_types.Scene,
+    intersect_fn: pathtracer.IntersectFn,
+    cam,
+    packed,  # gbuffer.PackedGBuffer with [H, W] layout
+    prev: ProbeState,
+    settings: RenderSettings,
+    frame_index,
+    blendfactor=0.15,
+    occluded_fn: Optional[pathtracer.OccludedFn] = None,
+):
+    """SIS → trace probes → SH project → interpolate, reading the packed
+    G-buffer (the 16 B/pixel HBM round-trip the reference makes:
+    gbuffer_helpers.slang:13-70 unpack in interpolate_probes/SIS)."""
+    from raytracer3_tpu.render import camera as camera_mod
+    from raytracer3_tpu.render import gbuffer as gbuffer_mod
+
+    w, h = settings.width, settings.height
+    surface = gbuffer_mod.unpack_surface(packed)
+    depth2 = packed.depth
+    normal2 = surface.normal
+    pix = camera_mod.pixel_grid(w, h)
+    o, d = camera_mod.primary_rays(cam, w, h, pixel_xy=pix)
+    o2 = o.reshape(h, w, 3)
+    d2 = d.reshape(h, w, 3)
+
+    dir_index, mip = structured_importance_sampling(normal2, settings)
+    state = trace_probes(
+        scene, intersect_fn, depth2, normal2, o2, d2, dir_index, mip,
+        prev, settings, frame_index, blendfactor, occluded_fn,
+    )
+    state = project_sh(state, settings)
+    light = interpolate_probes(
+        depth2, normal2, surface.albedo, surface.emissive, state, settings
+    )
+    aux = dict(depth=depth2, view_dirs=d2)
+    return light, state, aux
+
+
 def probe_gi_frame(
     scene: scene_types.Scene,
     intersect_fn: pathtracer.IntersectFn,
@@ -311,29 +372,13 @@ def probe_gi_frame(
     blendfactor=0.15,
     occluded_fn: Optional[pathtracer.OccludedFn] = None,
 ):
-    """Full probe-GI frame (the legacy pipeline of SURVEY.md §3.5): G-buffer →
-    SIS → trace probes → SH project → interpolate. Returns (light [H,W,3],
-    new ProbeState, gbuffer aux dict)."""
-    from raytracer3_tpu.render import camera as camera_mod
-
-    w, h = settings.width, settings.height
-    pix = camera_mod.pixel_grid(w, h)
-    o, d = camera_mod.primary_rays(cam, w, h, pixel_xy=pix)
-    gbuf = pathtracer.trace_gbuffer(scene, intersect_fn, o, d)
-
-    depth2 = gbuf.depth.reshape(h, w)
-    normal2 = gbuf.surface.normal.reshape(h, w, 3)
-    albedo2 = gbuf.surface.albedo.reshape(h, w, 3)
-    emissive2 = gbuf.surface.emissive.reshape(h, w, 3)
-    o2 = o.reshape(h, w, 3)
-    d2 = d.reshape(h, w, 3)
-
-    dir_index, mip = structured_importance_sampling(normal2, settings)
-    state = trace_probes(
-        scene, intersect_fn, depth2, normal2, o2, d2, dir_index, mip,
-        prev, settings, frame_index, blendfactor, occluded_fn,
+    """Full probe-GI frame (the legacy pipeline of SURVEY.md §3.5): packed
+    G-buffer → SIS → trace probes → SH project → interpolate. Returns
+    (light [H,W,3], new ProbeState, gbuffer aux dict)."""
+    packed, hit2 = trace_packed_gbuffer(scene, intersect_fn, cam, settings)
+    light, state, aux = probe_gi_from_gbuffer(
+        scene, intersect_fn, cam, packed, prev, settings, frame_index,
+        blendfactor, occluded_fn,
     )
-    state = project_sh(state, settings)
-    light = interpolate_probes(depth2, normal2, albedo2, emissive2, state, settings)
-    aux = dict(depth=depth2, view_dirs=d2, hit=gbuf.hit.reshape(h, w))
+    aux["hit"] = hit2
     return light, state, aux

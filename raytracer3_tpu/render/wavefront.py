@@ -42,6 +42,7 @@ class RayQueue(NamedTuple):
     depth: jax.Array  # [N] t of the current hit
     prim_id: jax.Array  # [N]
     uv: jax.Array  # [N, 2]
+    inst: jax.Array | None = None  # [N] hit instance (TLAS backends)
 
 
 def sort_key_pos_dir(pos: jax.Array, d: jax.Array, alive: jax.Array) -> jax.Array:
@@ -74,6 +75,9 @@ def sort_key_pos_dir(pos: jax.Array, d: jax.Array, alive: jax.Array) -> jax.Arra
             | (((qz[:, 2] >> b) & 1) << (3 * b))
         )
     dead_penalty = jnp.where(alive, 0, 1 << 30)
+    # Direction-major, position-minor (measured marginally better than
+    # position-major on bounce workloads: shared traversal ORDER matters as
+    # much as leaf locality for packet unions).
     return dead_penalty + (octant << 18) + morton
 
 
@@ -98,18 +102,22 @@ def sorted_trace(intersect_fn, origins, directions, alive) -> intersect.Hit:
     perm = jnp.argsort(sort_key_pos_dir(origins, directions, alive))
     packed = jnp.concatenate([origins, directions], axis=1)[perm]
     h = intersect_fn(packed[:, 0:3], packed[:, 3:6])
-    hp = jnp.concatenate(
-        [
-            h.t[:, None],
-            h.uv,
-            jax.lax.bitcast_convert_type(h.prim_id, jnp.float32)[:, None],
-        ],
-        axis=1,
-    )
+    cols = [
+        h.t[:, None],
+        h.uv,
+        jax.lax.bitcast_convert_type(h.prim_id, jnp.float32)[:, None],
+    ]
+    if h.inst is not None:
+        cols.append(jax.lax.bitcast_convert_type(h.inst, jnp.float32)[:, None])
+    hp = jnp.concatenate(cols, axis=1)
     hp = jnp.zeros_like(hp).at[perm].set(hp, unique_indices=True)
     prim_id = jax.lax.bitcast_convert_type(hp[:, 3], jnp.int32)
     return intersect.Hit(
-        t=hp[:, 0], uv=hp[:, 1:3], prim_id=prim_id, hit=prim_id >= 0
+        t=hp[:, 0], uv=hp[:, 1:3], prim_id=prim_id, hit=prim_id >= 0,
+        inst=(
+            jax.lax.bitcast_convert_type(hp[:, 4], jnp.int32)
+            if h.inst is not None else None
+        ),
     )
 
 
@@ -131,7 +139,7 @@ def trace_wavefront(
     def bounce(carry, b):
         q, sampler = carry
 
-        surface = scene_types.hit_surface_info(scene, q.prim_id, q.uv)
+        surface = scene_types.hit_surface_info(scene, q.prim_id, q.uv, q.inst)
         nrm = pathtracer._face_forward(surface.normal, -q.direction)
 
         # Emissive pickup with MIS against NEE (first bounce unweighted —
@@ -213,6 +221,7 @@ def trace_wavefront(
             depth=h.t,
             prim_id=h.prim_id,
             uv=h.uv,
+            inst=h.inst,
         )
         return (q, sampler), None
 
@@ -223,6 +232,13 @@ def trace_wavefront(
 
 
 TILE_W, TILE_H = 128, 64  # traversal-packet screen tiles (one 8192-ray packet)
+
+
+def pick_tile(width: int, height: int):
+    """Largest packet-friendly tile dims dividing the image (None if none)."""
+    tw = next((t for t in (128, 64, 32) if width % t == 0), None)
+    th = next((t for t in (64, 32, 16, 8) if height % t == 0), None)
+    return (tw, th) if (tw and th) else None
 
 
 def tiled_pixel_order(width: int, height: int, tile_w: int = TILE_W, tile_h: int = TILE_H) -> jax.Array:
@@ -258,8 +274,12 @@ def render_frame(
     [H, W, 3] raw radiance. Samples loop on the outside (decorrelated)."""
     w, h = settings.width, settings.height
     n = w * h
-    tiled = tile_primaries and (w % TILE_W == 0) and (h % TILE_H == 0)
-    pix = tiled_pixel_order(w, h) if tiled else camera_mod.pixel_grid(w, h)
+    tile = pick_tile(w, h) if tile_primaries else None
+    if tile is not None:
+        tw_, th_ = tile
+        pix = tiled_pixel_order(w, h, tile_w=tw_, tile_h=th_)
+    else:
+        pix = camera_mod.pixel_grid(w, h)
 
     total = jnp.zeros((n, 3), jnp.float32)
     for s_i in range(settings.samples):
@@ -290,6 +310,7 @@ def render_frame(
             depth=hit0.t,
             prim_id=hit0.prim_id,
             uv=hit0.uv,
+            inst=hit0.inst,
         )
         q = trace_wavefront(
             scene, intersect_fn, q, sampler, settings, occluded_fn, sort_rays
@@ -305,12 +326,12 @@ def render_frame(
         total = total + jnp.where(~hit0.hit[:, None], env, 0.0)
 
     total = total / float(settings.samples)
-    if tiled:
+    if tile is not None:
         # Undo the tile-swizzled ray order with pure reshapes (a scatter by
-        # pixel_id costs ~45 ms at 1080p; this is free).
-        th, tw = TILE_H, TILE_W
+        # pixel_id would be a real HBM scatter; this is free).
+        tw_, th_ = tile
         total = (
-            total.reshape(h // th, w // tw, th, tw, 3)
+            total.reshape(h // th_, w // tw_, th_, tw_, 3)
             .transpose(0, 2, 1, 3, 4)
             .reshape(h, w, 3)
         )

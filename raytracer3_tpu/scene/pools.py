@@ -59,6 +59,11 @@ class GeometryPool:
         self._next_mesh = 0
         self._next_instance = 0
         self.version = 0
+        # Structural changes (mesh/instance add/remove) invalidate geometry
+        # pools and BLASes; transform-only edits do not (TLAS refit path,
+        # reference world/mod.rs:137-154).
+        self.structural_version = 0
+        self.transform_version = 0
 
     # -- mesh registration (loaded_assets upload analog, world/mod.rs:83-101)
 
@@ -80,6 +85,7 @@ class GeometryPool:
             geo_id=np.asarray(geo_id, np.int32),
         )
         self.version += 1
+        self.structural_version += 1
         return MeshHandle(mid, len(positions), len(indices))
 
     # -- instances (add_instance system analog, world/mod.rs:50-54) ---------
@@ -90,15 +96,18 @@ class GeometryPool:
         t = np.eye(4, dtype=np.float32) if transform is None else np.asarray(transform, np.float32)
         self._instances[iid] = Instance(mesh.mesh_id, t, iid)
         self.version += 1
+        self.structural_version += 1
         return iid
 
     def set_transform(self, instance_id: int, transform: np.ndarray):
         self._instances[instance_id].transform = np.asarray(transform, np.float32)
         self.version += 1
+        self.transform_version += 1
 
     def remove_instance(self, instance_id: int):
         del self._instances[instance_id]
         self.version += 1
+        self.structural_version += 1
 
     @property
     def instance_count(self) -> int:

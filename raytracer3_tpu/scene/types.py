@@ -78,6 +78,10 @@ class Scene(NamedTuple):
     # Material row table for one-hot MXU fetch (G is small):
     # base_color(3) emission·12(3) metallic(1) roughness(1) tex_id(1) pad(3).
     mat_table: Optional[jax.Array] = None  # [G, 12] f32
+    # Instanced (TLAS) scenes: geometry above is OBJECT space per mesh;
+    # shading rotates normals by the hit instance's object→world normal
+    # matrix (row-major 3×3). None for flattened scenes.
+    inst_normal_mats: Optional[jax.Array] = None  # [I, 9] f32
 
     @property
     def num_triangles(self) -> int:
@@ -172,7 +176,9 @@ def _onehot_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
     )
 
 
-def hit_surface_info(scene: Scene, prim_id: jax.Array, uv: jax.Array) -> SurfaceInfo:
+def hit_surface_info(
+    scene: Scene, prim_id: jax.Array, uv: jax.Array, inst=None
+) -> SurfaceInfo:
     """Batched ``hit_info`` (hit_logic.slang:5-39): fetch triangle, interpolate
     attributes with barycentrics, apply material + base-color texture.
 
@@ -188,9 +194,21 @@ def hit_surface_info(scene: Scene, prim_id: jax.Array, uv: jax.Array) -> Surface
         w0 = (1.0 - uv[:, 0] - uv[:, 1])[:, None]
         w1 = uv[:, 0:1]
         w2 = uv[:, 1:2]
-        normal = mathx.normalize(
-            row[:, 0:3] * w0 + row[:, 3:6] * w1 + row[:, 6:9] * w2
-        )
+        normal = row[:, 0:3] * w0 + row[:, 3:6] * w1 + row[:, 6:9] * w2
+        if inst is not None and scene.inst_normal_mats is not None:
+            # Object→world normal rotation per hit instance (TLAS scenes).
+            nm = _onehot_rows(
+                scene.inst_normal_mats, jnp.maximum(inst, 0)
+            )  # [N, 9]
+            normal = jnp.stack(
+                [
+                    nm[:, 0] * normal[:, 0] + nm[:, 1] * normal[:, 1] + nm[:, 2] * normal[:, 2],
+                    nm[:, 3] * normal[:, 0] + nm[:, 4] * normal[:, 1] + nm[:, 5] * normal[:, 2],
+                    nm[:, 6] * normal[:, 0] + nm[:, 7] * normal[:, 1] + nm[:, 8] * normal[:, 2],
+                ],
+                axis=-1,
+            )
+        normal = mathx.normalize(normal)
         tex_uv = row[:, 9:11] * w0 + row[:, 11:13] * w1 + row[:, 13:15] * w2
         g = row[:, 15].astype(jnp.int32)
         mat = _onehot_rows(scene.mat_table, g)  # [N, 12]
@@ -287,6 +305,82 @@ def build_emissive_table(
         count=jnp.asarray(n, jnp.int32),
         light_table=jnp.asarray(lt),
     )
+
+
+def build_emissive_table_instanced(
+    meshes: list,
+    instances: list,
+    emission: np.ndarray,
+    pad_to: int | None = None,
+) -> EmissiveTable:
+    """NEE light list for instanced (TLAS) scenes: emissive triangles of
+    every instance transformed to world space. Rebuilt on transform edits
+    (O(emissive tris), host) — geometry pools are untouched.
+
+    meshes: list of dicts (positions/indices/geo_id, object space);
+    instances: list of (mesh_index, transform[4,4])."""
+    v0s, v1s, v2s, ems = [], [], [], []
+    ids = []
+    tbase = 0
+    tri_base = []
+    for m in meshes:
+        tri_base.append(tbase)
+        tbase += len(m["indices"])
+    for mi, t in instances:
+        m = meshes[mi]
+        em_per_tri = emission[m["geo_id"]]
+        mask = em_per_tri.max(axis=-1) > 0.0
+        if not mask.any():
+            continue
+        idx = m["indices"][mask]
+        pos = m["positions"] @ t[:3, :3].T + t[:3, 3]
+        v0s.append(pos[idx[:, 0]])
+        v1s.append(pos[idx[:, 1]])
+        v2s.append(pos[idx[:, 2]])
+        ems.append(em_per_tri[mask])
+        ids.append(np.nonzero(mask)[0].astype(np.int32) + tri_base[mi])
+    if not v0s:
+        return EmissiveTable(
+            tri_ids=jnp.full((0,), -1, jnp.int32),
+            areas=jnp.zeros((0,), jnp.float32),
+            cdf=jnp.zeros((0,), jnp.float32),
+            total_area=jnp.asarray(0.0, jnp.float32),
+            count=jnp.asarray(0, jnp.int32),
+            light_table=jnp.zeros((1, 16), jnp.float32),
+        )
+    v0 = np.concatenate(v0s).astype(np.float32)
+    v1 = np.concatenate(v1s).astype(np.float32)
+    v2 = np.concatenate(v2s).astype(np.float32)
+    em = np.concatenate(ems).astype(np.float32)
+    ids = np.concatenate(ids)
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    n = len(ids)
+    size = pad_to or max(1, _next_pow2_int(n))
+    pad = size - n
+    lt = np.zeros((size, 16), np.float32)
+    lt[:n, 0:3] = v0
+    lt[:n, 3:6] = v1 - v0
+    lt[:n, 6:9] = v2 - v0
+    lt[:n, 9:12] = em * EMISSION_SCALE
+    lt[:n, 12] = 1.0
+    areas_p = np.pad(areas, (0, pad))
+    cdf = np.cumsum(areas_p)
+    cdf = cdf / max(cdf[-1], 1e-30)
+    return EmissiveTable(
+        tri_ids=jnp.asarray(np.pad(ids, (0, pad), constant_values=-1)),
+        areas=jnp.asarray(areas_p, jnp.float32),
+        cdf=jnp.asarray(cdf, jnp.float32),
+        total_area=jnp.asarray(float(areas.sum()), jnp.float32),
+        count=jnp.asarray(n, jnp.int32),
+        light_table=jnp.asarray(lt),
+    )
+
+
+def _next_pow2_int(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 def make_scene(

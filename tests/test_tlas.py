@@ -1,0 +1,226 @@
+"""Two-level (TLAS/BLAS) traversal tests: instanced scenes traced through
+the two-level packet kernel (interpret mode) must match brute force over the
+manually flattened geometry, report correct instance ids, and rebind cheaply
+on transform edits (reference: vulkan/raytracing.rs:88-148 TLAS refit)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer3_tpu.ops import intersect, tlas
+from raytracer3_tpu.render import camera as camera_mod
+from raytracer3_tpu.scene import analytic
+
+SUBLANES = 8
+
+
+def _box_mesh():
+    from raytracer3_tpu.scene import procedural
+
+    v, f = procedural._box_tris((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5))
+    return dict(positions=v, indices=f)
+
+
+def _transform(tx=0.0, ty=0.0, tz=0.0, s=1.0, yaw=0.0):
+    c, sn = np.cos(yaw), np.sin(yaw)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = np.asarray(
+        [[c * s, 0, sn * s], [0, s, 0], [-sn * s, 0, c * s]], np.float32
+    )
+    m[:3, 3] = (tx, ty, tz)
+    return m
+
+
+def _flatten(meshes, instances):
+    v0s, v1s, v2s = [], [], []
+    for mi, t in instances:
+        m = meshes[mi]
+        pos = m["positions"] @ t[:3, :3].T + t[:3, 3]
+        idx = m["indices"]
+        v0s.append(pos[idx[:, 0]])
+        v1s.append(pos[idx[:, 1]])
+        v2s.append(pos[idx[:, 2]])
+    return (
+        np.concatenate(v0s).astype(np.float32),
+        np.concatenate(v1s).astype(np.float32),
+        np.concatenate(v2s).astype(np.float32),
+    )
+
+
+def _rays(n, seed=3, spread=4.0):
+    r = np.random.default_rng(seed)
+    o = r.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    o[:, 1] += 1.0
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.fixture(scope="module")
+def instanced():
+    meshes = [_box_mesh()]
+    instances = [
+        (0, _transform(-1.5, 0.5, 0.0)),
+        (0, _transform(1.5, 0.5, 0.0, s=1.5, yaw=0.7)),
+        (0, _transform(0.0, 2.0, 1.0, s=0.6, yaw=1.9)),
+    ]
+    backend = tlas.two_level_backend(
+        meshes, instances, leaf_size=4, width=8, sublanes=SUBLANES,
+        interpret=True,
+    )
+    return meshes, instances, backend
+
+
+class TestTwoLevel:
+    def test_matches_bruteforce_on_flattened(self, instanced):
+        meshes, instances, backend = instanced
+        v0, v1, v2 = _flatten(meshes, instances)
+        o, d = _rays(SUBLANES * 128)
+        hit = backend.intersect(o, d)
+        ref = intersect.intersect_bruteforce(
+            o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+        )
+        h, rh = np.asarray(hit.hit), np.asarray(ref.hit)
+        assert (h != rh).sum() <= max(2, h.shape[0] // 500)
+        m = h & rh
+        np.testing.assert_allclose(
+            np.asarray(hit.t)[m], np.asarray(ref.t)[m], rtol=2e-4, atol=1e-4
+        )
+
+    def test_instance_ids(self, instanced):
+        meshes, instances, backend = instanced
+        # Rays aimed at each instance's center from straight above.
+        centers = np.stack([t[:3, 3] for _, t in instances])
+        n = SUBLANES * 128
+        o = np.zeros((n, 3), np.float32)
+        d = np.zeros((n, 3), np.float32)
+        for k in range(3):
+            o[k::8] = centers[k] + [0, 5.0, 0]
+            d[k::8] = [0, -1.0, 0]
+        o[3::8] = [50.0, 50.0, 50.0]  # misses
+        d[3::8] = [0, 1.0, 0]
+        hit = backend.intersect(jnp.asarray(o), jnp.asarray(d))
+        inst = np.asarray(hit.inst)
+        for k in range(3):
+            lanes = np.arange(k, n, 8)
+            assert (inst[lanes] == k).all(), f"instance {k} ids wrong"
+        assert (inst[np.arange(3, n, 8)] == -1).all()
+        # prim ids are mesh-global: one mesh of 12 tris → ids in [0, 12)
+        pid = np.asarray(hit.prim_id)
+        assert pid[np.asarray(hit.hit)].max() < 12
+
+    def test_transform_edit_rebinds_without_vertex_rebuild(self, instanced):
+        meshes, instances, _ = instanced
+        cache = {}
+        b1 = tlas.two_level_backend(
+            meshes, instances, leaf_size=4, width=8, sublanes=SUBLANES,
+            interpret=True, blas_cache=cache,
+        )
+        moved = list(instances)
+        moved[1] = (0, _transform(3.0, 0.5, -1.0, s=1.5, yaw=0.2))
+        b2 = tlas.two_level_backend(
+            meshes, moved, leaf_size=4, width=8, sublanes=SUBLANES,
+            interpret=True, blas_cache=cache,
+        )
+        # BLAS reused: cluster tables identical objects → no vertex rebuild;
+        # array shapes stable → no recompile.
+        assert len([k for k in cache if isinstance(k, int)]) == 1
+        assert b2.arrays["clusters"] is b1.arrays["clusters"]
+        assert b1.arrays["clusters"].shape == b2.arrays["clusters"].shape
+        assert b1.arrays["nodes"].shape == b2.arrays["nodes"].shape
+        # And the moved scene traces correctly.
+        v0, v1, v2 = _flatten(meshes, moved)
+        o, d = _rays(SUBLANES * 128, seed=11)
+        hit = b2.intersect(o, d)
+        ref = intersect.intersect_bruteforce(
+            o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+        )
+        h, rh = np.asarray(hit.hit), np.asarray(ref.hit)
+        assert (h != rh).sum() <= max(2, h.shape[0] // 500)
+
+    def test_occlusion(self, instanced):
+        meshes, instances, backend = instanced
+        v0, v1, v2 = _flatten(meshes, instances)
+        o, d = _rays(SUBLANES * 128, seed=5)
+        t_ref = intersect.intersect_bruteforce(
+            o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+        ).t
+        tmax = jnp.where(t_ref < 1e4, t_ref * 1.05, 1e-3)
+        got = backend.occluded(o, d, tmax)
+        ref_mask = np.asarray(t_ref) < 1e4
+        assert np.asarray(got)[ref_mask].all()
+
+    def test_many_instances_deep_tlas(self):
+        # > width instances exercises the internal TLAS build path.
+        meshes = [_box_mesh()]
+        r = np.random.default_rng(0)
+        instances = [
+            (0, _transform(*(r.uniform(-6, 6, 3)), s=r.uniform(0.4, 1.2)))
+            for _ in range(23)
+        ]
+        backend = tlas.two_level_backend(
+            meshes, instances, leaf_size=4, width=8, sublanes=SUBLANES,
+            interpret=True,
+        )
+        v0, v1, v2 = _flatten(meshes, instances)
+        o, d = _rays(SUBLANES * 128, seed=9, spread=7.0)
+        hit = backend.intersect(o, d)
+        ref = intersect.intersect_bruteforce(
+            o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+        )
+        h, rh = np.asarray(hit.hit), np.asarray(ref.hit)
+        assert (h != rh).sum() <= max(2, h.shape[0] // 500)
+        m = h & rh
+        np.testing.assert_allclose(
+            np.asarray(hit.t)[m], np.asarray(ref.t)[m], rtol=2e-4, atol=1e-4
+        )
+
+
+class TestWorldTlas:
+    def test_set_transform_no_scene_rebuild(self):
+        """VERDICT item 5 'Done' criterion: a transform edit must not rebuild
+        scene arrays or BLASes — only the TLAS/instance/light tables — and
+        the next frame's jit signature stays identical (no recompile)."""
+        import jax
+        from raytracer3_tpu.app import world as world_mod
+
+        w = world_mod.World()
+        w.add_material((0.8, 0.2, 0.2, 1.0))
+        w.add_material((0.9, 0.9, 0.9, 1.0), emission=(2.0, 2.0, 2.0))
+        m = _box_mesh()
+        geo = np.zeros(len(m["indices"]), np.int32)
+        geo[:2] = 1  # a couple of emissive faces
+        nrm = np.tile(np.asarray([[0, 1, 0]], np.float32), (len(m["positions"]), 1))
+        uv = np.zeros((len(m["positions"]), 2), np.float32)
+        h = w.add_mesh(m["positions"], nrm, uv, m["indices"], geo)
+        e1 = w.spawn(h, transform=_transform(-1.0, 0.0, 0.0))
+        e2 = w.spawn(h, transform=_transform(1.0, 0.0, 0.0))
+
+        scene1 = w.scene_instanced()
+        b1 = w.tlas_backend(leaf_size=4, width=8, sublanes=SUBLANES, interpret=True)
+        # Transform edit:
+        w.set_transform(e2, _transform(2.0, 0.5, 0.0, yaw=0.4))
+        scene2 = w.scene_instanced()
+        b2 = w.tlas_backend(leaf_size=4, width=8, sublanes=SUBLANES, interpret=True)
+
+        # Geometry arrays are the SAME objects (no rebuild, no vertex bake).
+        assert scene2.positions is scene1.positions
+        assert scene2.shade_table is scene1.shade_table
+        assert b2.arrays["clusters"] is b1.arrays["clusters"]
+        # Only the small per-instance tables changed, with stable shapes
+        # (stable jit signatures → no recompile).
+        assert b2.arrays["insts"].shape == b1.arrays["insts"].shape
+        assert scene2.emissive.light_table.shape == scene1.emissive.light_table.shape
+        assert jax.tree.structure(scene2) == jax.tree.structure(scene1)
+
+        # And the moved scene still traces correctly end-to-end.
+        o, d = _rays(SUBLANES * 128, seed=21, spread=3.0)
+        hit = b2.intersect(o, d)
+        meshes = [m]
+        insts = [(0, _transform(-1.0, 0.0, 0.0)), (0, _transform(2.0, 0.5, 0.0, yaw=0.4))]
+        v0, v1, v2 = _flatten(meshes, insts)
+        ref = intersect.intersect_bruteforce(
+            o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+        )
+        hm, rm = np.asarray(hit.hit), np.asarray(ref.hit)
+        assert (hm != rm).sum() <= max(2, hm.shape[0] // 500)

@@ -147,3 +147,35 @@ class TestAnyHit:
             pt, o, d, interpret=True, sublanes=SUBLANES, any_hit=True
         )
         assert not np.asarray(got.hit).any()
+
+
+class TestHbmClusters:
+    def test_hbm_mode_matches_vmem(self, cornell):
+        # Sponza-scale scenes keep the cluster table in HBM with per-leaf
+        # DMA; results must be bit-identical to the VMEM path.
+        cam, v0, v1, v2 = cornell
+        pt = _tables(v0, v1, v2)
+        o, d = _primary_rays(cam, SUBLANES * 128)
+        a = tk.packet_intersect(pt, o, d, interpret=True, sublanes=SUBLANES)
+        b = tk.packet_intersect(
+            pt, o, d, interpret=True, sublanes=SUBLANES, clusters_hbm=True
+        )
+        np.testing.assert_array_equal(np.asarray(a.prim_id), np.asarray(b.prim_id))
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+
+    def test_stats_counters(self, cornell):
+        cam, v0, v1, v2 = cornell
+        pt = _tables(v0, v1, v2)
+        o, d = _primary_rays(cam, SUBLANES * 128)
+        plain = tk.packet_intersect(pt, o, d, interpret=True, sublanes=SUBLANES)
+        h, s = tk.packet_intersect(
+            pt, o, d, interpret=True, sublanes=SUBLANES, stats=True
+        )
+        np.testing.assert_array_equal(np.asarray(h.prim_id), np.asarray(plain.prim_id))
+        s = np.asarray(s)[:, :4]
+        assert (s[:, 0] >= 1).all()  # visited at least the root
+        assert (s[:, 1] >= 1).all()  # visited at least one leaf
+        # group activations bounded by pops * n_groups
+        n_groups = max(1, SUBLANES // tk.GROUP_ROWS)
+        assert (s[:, 2] <= s[:, 0] * n_groups).all()
+        assert (s[:, 3] <= s[:, 1] * n_groups).all()

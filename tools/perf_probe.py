@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--width", type=int, default=16)
     ap.add_argument("--leaf", type=int, default=12)
     ap.add_argument("--n", type=int, default=960 * 544)
+    ap.add_argument("--stats", action="store_true")
     args = ap.parse_args()
 
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
@@ -153,6 +154,52 @@ def main():
 
     dt = _time(shadow, nt, ct, q, sd, dist)
     print(f"shadow+sort: {dt*1e3:7.2f} ms  {n/dt/1e6:7.2f} Mray/s")
+
+    if args.stats:
+        n_groups = max(1, args.sublanes // tk.GROUP_ROWS)
+
+        @jax.jit
+        def st_primary(nt_, ct_, o_, d_):
+            pt2 = pt._replace(node_table=nt_, cluster_table=ct_)
+            return tk.packet_intersect(
+                pt2, o_, d_, sublanes=args.sublanes, stats=True
+            )[1]
+
+        @jax.jit
+        def st_bounce(nt_, ct_, q_):
+            pt2 = pt._replace(node_table=nt_, cluster_table=ct_)
+            perm = jnp.argsort(wavefront._sort_key(q_))
+            return tk.packet_intersect(
+                pt2, q_.origin[perm], q_.direction[perm],
+                sublanes=args.sublanes, stats=True,
+            )[1]
+
+        @jax.jit
+        def st_shadow(nt_, ct_, q_, sd_, dist_):
+            pt2 = pt._replace(node_table=nt_, cluster_table=ct_)
+            perm = jnp.argsort(wavefront._sort_key(q_))
+            return tk.packet_intersect(
+                pt2, q_.origin[perm], sd_[perm],
+                t_max=dist_[perm, 0] * 0.999, any_hit=True,
+                sublanes=args.sublanes, stats=True,
+            )[1]
+
+        import numpy as _np
+
+        for tag, s in (
+            ("primary", st_primary(nt, ct, o, d)),
+            ("bounce+sort", st_bounce(nt, ct, q)),
+            ("shadow+sort", st_shadow(nt, ct, q, sd, dist)),
+        ):
+            s = _np.asarray(jax.device_get(s)).astype(_np.float64)
+            node_p, leaf_p, node_ga, leaf_ga = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+            print(
+                f"  stats {tag:11s}: node pops {node_p.mean():7.0f} "
+                f"(act {node_ga.mean()/_np.maximum(node_p.mean(),1):5.2f}/{n_groups}) "
+                f"leaf pops {leaf_p.mean():7.0f} "
+                f"(act {leaf_ga.mean()/_np.maximum(leaf_p.mean(),1):5.2f}/{n_groups}) "
+                f"of {pt.num_nodes}n/{pt.num_clusters}c"
+            )
 
 
 if __name__ == "__main__":
