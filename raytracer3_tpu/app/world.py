@@ -73,6 +73,33 @@ class World:
             md.positions, md.normals, md.uvs, md.indices, md.geo_id + base
         )
 
+    # -- async asset loading (bevy multi_threaded + loaded_assets analog) ----
+
+    def load_glb_async(self, path: str, transform=None, name="", **kw) -> int:
+        """Enqueue a .glb for background processing; spawn happens in
+        update() when the worker finishes (world/mod.rs:50-101 flow).
+        Returns a ticket id."""
+        if not hasattr(self, "_assets"):
+            from raytracer3_tpu.scene import assets as assets_mod
+
+            self._assets = assets_mod.AsyncAssetPipeline()
+            self._async_specs = {}
+        t = self._assets.load(path, **kw)
+        self._async_specs[t] = (transform, name)
+        return t
+
+    def update(self):
+        """Integrate finished async assets (call once per frame tick).
+        Returns newly spawned entities."""
+        if not hasattr(self, "_assets"):
+            return []
+        spawned = []
+        for ticket, md in self._assets.poll():
+            transform, name = self._async_specs.pop(ticket)
+            h = self.add_mesh_data(md)
+            spawned.append(self.spawn(h, transform=transform, name=name))
+        return spawned
+
     def spawn(self, mesh: pools_mod.MeshHandle, transform=None, name="") -> Entity:
         iid = self.pool.add_instance(mesh, transform)
         e = Entity(self._next_entity, instance_id=iid, name=name)

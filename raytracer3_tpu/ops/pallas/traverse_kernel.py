@@ -143,7 +143,9 @@ def _kernel(
         out_ref, *maybe_stats_ref = rest
     stats_ref = maybe_stats_ref[0] if stats else None
     sublanes = rays_ref.shape[2]
-    n_groups = max(1, sublanes // GROUP_ROWS)
+    # Group bitmasks live in int32 stacks → at most 32 groups; huge packets
+    # widen each group (rows) instead of adding groups.
+    n_groups = max(1, min(32, sublanes // GROUP_ROWS))
     rows = sublanes // n_groups
     all_bits = -1 if n_groups >= 32 else (1 << n_groups) - 1
     out_ch = 5 if two_level else 4
@@ -206,12 +208,13 @@ def _kernel(
         # The stack pointer travels in the while carry, NOT in SMEM: a loop
         # condition reading a mutated ref never terminates in interpret mode,
         # and a carried scalar also spares Mosaic one SMEM round-trip per
-        # iteration.
+        # iteration. The carry is a dict: sp (+ cur instance when two_level,
+        # + prefetch state when clusters live in HBM, + stat counters).
         def cond(carry):
-            return carry[0] > 0
+            return carry["sp"] > 0
 
         def body(carry):
-            sp = carry[0] - 1
+            sp = carry["sp"] - 1
             entry = stack_ref[sp]
             mbits = gbits_ref[sp]
 
@@ -335,7 +338,9 @@ def _kernel(
                     # Cluster table lives in HBM (Sponza-scale scenes exceed
                     # VMEM); DMA the row in at pop time. The whole packet
                     # shares one row, so the fetch amortizes over up to
-                    # sublanes×128 rays.
+                    # sublanes×128 rays. (A double-buffered stack-peek
+                    # prefetch measured NEUTRAL on v5e — the row DMA hides
+                    # behind the previous leaf's vector work already.)
                     dma = pltpu.make_async_copy(
                         clusters_ref.at[pl.ds(cl, 1)], cbuf_ref, csem_ref
                     )
@@ -359,7 +364,10 @@ def _kernel(
                     )
 
                 for g in range(n_groups):
-
+                    # (An extra any-hit per-group "all blocked" skip measured
+                    # a 2.4x REGRESSION here: n_groups unconditional [8,128]
+                    # reductions per leaf pop cost more than skipped groups
+                    # save. Group bits alone carry the work skipping.)
                     @pl.when(((mbits >> g) & 1) == 1)
                     def _(g=g):
                         sl = slice(g * rows, (g + 1) * rows)
@@ -423,10 +431,20 @@ def _kernel(
 
                 return sp
 
-            if not two_level:
-                sp = jax.lax.cond(entry >= 0, handle_node, handle_leaf, sp)
-            else:
-                cur_inst = carry[1]
+            # (Pop culling — per-entry min-tn keys vs per-group shrinking
+            # best_t bounds — measured ZERO culls on real workloads: one
+            # never-hitting ray per 1024-ray group pins its bound at
+            # BACKGROUND_DEPTH, and the per-pop scalar threshold loop cost
+            # 10-25%. Removed; see docs/ROADMAP.md.)
+            cur_inst = carry.get("inst", jnp.int32(-1))
+
+            def dispatch(args):
+                sp, cur_inst = args
+                if not two_level:
+                    return (
+                        jax.lax.cond(entry >= 0, handle_node, handle_leaf, sp),
+                        cur_inst,
+                    )
 
                 def on_node(args):
                     sp, cur_inst = args
@@ -455,7 +473,7 @@ def _kernel(
                         # TLAS leaf: map rays into the instance's object
                         # space and descend into its BLAS (raytracing.rs
                         # TLAS→BLAS hop; t is affine-invariant).
-                        sp, _ = args
+                        sp = args[0]
                         inst = cl - num_clusters
                         irow = inst_ref[inst]
                         m = [irow[k] for k in range(12)]  # inv M rows [R|t]
@@ -480,42 +498,46 @@ def _kernel(
                         (sp, cur_inst),
                     )
 
-                sp, cur_inst = jax.lax.cond(
+                return jax.lax.cond(
                     entry >= 0, on_node, on_neg, (sp, cur_inst)
                 )
+
+            sp, cur_inst = dispatch((sp, cur_inst))
             if any_hit:
                 # Terminate the packet when every live ray is blocked
                 # (padding rays carry t_cap <= t_min and count as done).
                 done = (out_ref[0, 3] >= 0.0) | (t_cap <= t_min)
                 sp = jnp.where(jnp.all(done), 0, sp)
 
-            head = (sp, cur_inst) if two_level else (sp,)
-            if not stats:
-                return head
-            sbase = len(head)
-            is_node = (entry >= 0).astype(jnp.int32)
-            pc = jnp.int32(0)
-            for g in range(n_groups):
-                pc = pc + ((mbits >> g) & 1)
-            return head + (
-                carry[sbase] + is_node,
-                carry[sbase + 1] + (1 - is_node),
-                carry[sbase + 2] + is_node * pc,
-                carry[sbase + 3] + (1 - is_node) * pc,
-            )
+            out = {"sp": sp}
+            if two_level:
+                out["inst"] = cur_inst
+            if stats:
+                is_node = (entry >= 0).astype(jnp.int32)
+                pc = jnp.int32(0)
+                for g in range(n_groups):
+                    pc = pc + ((mbits >> g) & 1)
+                st = carry["st"]
+                out["st"] = (
+                    st[0] + is_node,
+                    st[1] + (1 - is_node),
+                    st[2] + is_node * pc,
+                    st[3] + (1 - is_node) * pc,
+                )
+            return out
 
-        init = (jnp.int32(1),)
+        init = {"sp": jnp.int32(1)}
         if two_level:
-            init = init + (jnp.int32(-1),)  # cur_inst: world space
+            init["inst"] = jnp.int32(-1)  # world space
         if stats:
-            init = init + (jnp.int32(0),) * 4
+            init["st"] = (jnp.int32(0),) * 4
         final = jax.lax.while_loop(cond, body, init)
         if stats:
-            sbase = 2 if two_level else 1
-            stats_ref[pid, 0] = final[sbase]  # node pops
-            stats_ref[pid, 1] = final[sbase + 1]  # leaf pops
-            stats_ref[pid, 2] = final[sbase + 2]  # node group activations
-            stats_ref[pid, 3] = final[sbase + 3]  # leaf group activations
+            st = final["st"]
+            stats_ref[pid, 0] = st[0]  # node pops
+            stats_ref[pid, 1] = st[1]  # leaf pops
+            stats_ref[pid, 2] = st[2]  # node group activations
+            stats_ref[pid, 3] = st[3]  # leaf group activations
 
     shapes = [
         pltpu.SMEM((stack,), jnp.int32),

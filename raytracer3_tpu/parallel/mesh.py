@@ -142,13 +142,19 @@ def progressive_step_tiled(
     mesh = mesh or make_render_mesh(axis=axis)
     film_sharding = NamedSharding(mesh, P(axis))
 
-    @partial(jax.jit, donate_argnums=0)
-    def step(film: film_mod.Film, frame_index) -> film_mod.Film:
+    # Scene crosses the jit boundary as an ARGUMENT (ops/backend.py: jit
+    # closures over device arrays pay a host round-trip per dispatch on
+    # tunneled runtimes); film is donated across frames.
+    @partial(jax.jit, donate_argnums=1)
+    def _step(scene_, film: film_mod.Film, frame_index) -> film_mod.Film:
         radiance = render_tiled(
-            scene, cam, settings, frame_index, intersect_fn, occluded_fn,
+            scene_, cam, settings, frame_index, intersect_fn, occluded_fn,
             mesh=mesh, axis=axis,
         )
         return film_mod.accumulate_progressive(film, radiance)
+
+    def step(film: film_mod.Film, frame_index) -> film_mod.Film:
+        return _step(scene, film, frame_index)
 
     def init_film() -> film_mod.Film:
         f = film_mod.Film.create(settings.height, settings.width)

@@ -99,3 +99,56 @@ def blue_noise_cached(size: int = 64, cache_dir: Optional[str] = None) -> np.nda
     bn = rng.generate_blue_noise(size=size)
     np.save(cache_path, bn)
     return bn
+
+
+class AsyncAssetPipeline:
+    """Background-thread asset processing — the bevy multi_threaded asset
+    pipeline analog (Cargo.toml:17-18; assets/mod.rs:180-314 processes .glb →
+    cached .mesh on worker threads while the frame loop keeps running).
+
+    Usage mirrors the reference's add_instance/loaded_assets split
+    (world/mod.rs:50-101): ``load()`` enqueues, the frame loop calls
+    ``poll()`` each tick and integrates whatever finished."""
+
+    def __init__(self, max_workers: int = 2, cache_dir: Optional[str] = None):
+        import concurrent.futures as cf
+
+        self._pool = cf.ThreadPoolExecutor(
+            max_workers=max_workers, thread_name_prefix="rt3-assets"
+        )
+        self._cache_dir = cache_dir
+        self._pending = {}
+        self._next = 0
+
+    def load(self, path: str, **kw) -> int:
+        """Enqueue a .glb for background processing; returns a ticket."""
+        ticket = self._next
+        self._next += 1
+        self._pending[ticket] = self._pool.submit(
+            load_glb_cached, path, cache_dir=self._cache_dir, **kw
+        )
+        return ticket
+
+    def poll(self):
+        """Completed (ticket, MeshData) pairs since the last poll (the
+        loaded_assets system analog; non-blocking)."""
+        done = [(t, f) for t, f in self._pending.items() if f.done()]
+        out = []
+        for t, f in done:
+            del self._pending[t]
+            out.append((t, f.result()))  # raises the worker's exception
+        return out
+
+    @property
+    def in_flight(self) -> int:
+        return len(self._pending)
+
+    def wait_all(self, timeout: Optional[float] = None):
+        """Block until every pending asset is processed; returns all of them."""
+        import concurrent.futures as cf
+
+        cf.wait(list(self._pending.values()), timeout=timeout)
+        return self.poll()
+
+    def shutdown(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)

@@ -61,3 +61,36 @@ class TestGolden:
         assert mask.sum() > 2000
         rel = abs(acc[mask].mean() - golden[mask].mean()) / golden[mask].mean()
         assert rel < 0.08
+
+
+class TestGoldenBreadth:
+    """Broader goldens (VERDICT r01 item 10): the production packet backend,
+    the probe-GI display image, and a textured scene. Regenerate with
+    tools/regen_goldens.py when the renderer changes intentionally."""
+
+    def test_atrium_packet_backend_bitstable(self):
+        from tools import regen_goldens
+
+        img = regen_goldens.atrium_packet()
+        golden = np.load(
+            os.path.join(os.path.dirname(__file__), "golden", "atrium_packet_48_4f.npy")
+        )
+        np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-5)
+
+    def test_probe_display_bitstable(self):
+        from tools import regen_goldens
+
+        img = regen_goldens.probe_display()
+        golden = np.load(
+            os.path.join(os.path.dirname(__file__), "golden", "probe_display_64_4f.npy")
+        )
+        np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-5)
+
+    def test_textured_bitstable(self):
+        from tools import regen_goldens
+
+        img = regen_goldens.textured()
+        golden = np.load(
+            os.path.join(os.path.dirname(__file__), "golden", "textured_64_8f.npy")
+        )
+        np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-5)

@@ -170,3 +170,48 @@ class TestEndToEndRender:
             out, state = step(state, frame_index=jnp.uint32(i))
         assert np.isfinite(np.asarray(out)).all()
         assert np.asarray(out).max() > 0
+
+
+class TestDeclarationValidation:
+    """compile() validates written shapes/dtypes against declarations at
+    trace time, erroring with the pass name (the reference materializes
+    resources from declarations and panics at build, build.rs:53-107)."""
+
+    def test_shape_mismatch_raises(self):
+        import jax.numpy as jnp
+        import pytest
+        from raytracer3_tpu.graph import FrameGraph, GraphError
+
+        g = FrameGraph()
+        g.image("img", (4, 4))
+        g.add_pass("bad", lambda r: {"img": jnp.zeros((2, 2))}, writes=["img"])
+        step = g.compile(output="img", jit=False)
+        with pytest.raises(GraphError, match="bad.*img.*\\(2, 2\\)"):
+            step({})
+
+    def test_dtype_mismatch_raises(self):
+        import jax.numpy as jnp
+        import pytest
+        from raytracer3_tpu.graph import FrameGraph, GraphError
+
+        g = FrameGraph()
+        g.image("img", (4, 4), dtype=jnp.uint32)
+        g.add_pass("bad", lambda r: {"img": jnp.zeros((4, 4))}, writes=["img"])
+        step = g.compile(output="img", jit=False)
+        with pytest.raises(GraphError, match="bad.*dtype"):
+            step({})
+
+    def test_bindings_forwarded_to_passes_that_declare_them(self):
+        import jax.numpy as jnp
+        from raytracer3_tpu.graph import FrameGraph
+
+        g = FrameGraph()
+        g.image("img", (2, 2))
+
+        def p(r, bindings):
+            return {"img": jnp.full((2, 2), bindings["k"])}
+
+        g.add_pass("p", p, writes=["img"])
+        step = g.compile(output="img", jit=False, bindings={"k": jnp.float32(3.0)})
+        out, _ = step({})
+        assert float(out[0, 0]) == 3.0

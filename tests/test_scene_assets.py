@@ -122,3 +122,52 @@ class TestEXR:
         p.write_bytes(b"\x00" * 64)
         with pytest.raises(ValueError):
             im.read_exr(str(p))
+
+
+class TestAsyncPipeline:
+    def test_background_load_and_world_integration(self, tmp_path):
+        """Async asset processing (reference: bevy multi_threaded asset
+        threads + the loaded_assets upload system, world/mod.rs:83-101)."""
+        import time
+
+        from raytracer3_tpu.app import world as world_mod
+
+        paths = []
+        for k in range(3):
+            p = str(tmp_path / f"m{k}.glb")
+            make_test_glb(p)
+            paths.append(p)
+
+        w = world_mod.World()
+        tickets = [
+            w.load_glb_async(p, name=f"m{k}") for k, p in enumerate(paths)
+        ]
+        assert len(set(tickets)) == 3
+        # Pump update() like a frame loop until everything lands.
+        deadline = time.time() + 30.0
+        spawned = []
+        while len(spawned) < 3 and time.time() < deadline:
+            spawned.extend(w.update())
+            time.sleep(0.01)
+        assert len(spawned) == 3
+        assert w.pool.instance_count == 3
+        assert {e.name for e in spawned} == {"m0", "m1", "m2"}
+        # The scene builds from the async-loaded meshes.
+        scene = w.scene()
+        assert int(scene.num_triangles) >= 3
+
+    def test_worker_exception_surfaces_in_poll(self, tmp_path):
+        from raytracer3_tpu.scene import assets as assets_mod
+        import pytest
+        import time
+
+        p = str(tmp_path / "broken.glb")
+        with open(p, "wb") as f:
+            f.write(b"not a glb at all")
+        pipe = assets_mod.AsyncAssetPipeline()
+        pipe.load(p)
+        deadline = time.time() + 30.0
+        with pytest.raises(ValueError):
+            while time.time() < deadline:
+                pipe.poll()
+                time.sleep(0.01)

@@ -224,3 +224,26 @@ class TestWorldTlas:
         )
         hm, rm = np.asarray(hit.hit), np.asarray(ref.hit)
         assert (hm != rm).sum() <= max(2, hm.shape[0] // 500)
+
+
+def test_two_level_hbm_clusters(instanced_module=None):
+    """HBM cluster rows + DMA prefetch must compose with TLAS traversal."""
+    meshes = [_box_mesh()]
+    instances = [
+        (0, _transform(-1.5, 0.5, 0.0)),
+        (0, _transform(1.5, 0.5, 0.0, s=1.5, yaw=0.7)),
+    ]
+    b_vmem = tlas.two_level_backend(
+        meshes, instances, leaf_size=4, width=8, sublanes=SUBLANES,
+        interpret=True, clusters_hbm=False,
+    )
+    b_hbm = tlas.two_level_backend(
+        meshes, instances, leaf_size=4, width=8, sublanes=SUBLANES,
+        interpret=True, clusters_hbm=True,
+    )
+    o, d = _rays(SUBLANES * 128, seed=13)
+    a = b_vmem.intersect(o, d)
+    b = b_hbm.intersect(o, d)
+    np.testing.assert_array_equal(np.asarray(a.prim_id), np.asarray(b.prim_id))
+    np.testing.assert_array_equal(np.asarray(a.inst), np.asarray(b.inst))
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))

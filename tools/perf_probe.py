@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--leaf", type=int, default=12)
     ap.add_argument("--n", type=int, default=960 * 544)
     ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--hbm", action="store_true")
     args = ap.parse_args()
 
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
@@ -76,13 +77,14 @@ def main():
     @jax.jit
     def isect(nt, ct, o_, d_):
         pt2 = pt._replace(node_table=nt, cluster_table=ct)
-        return tk.packet_intersect(pt2, o_, d_, sublanes=args.sublanes)
+        return tk.packet_intersect(pt2, o_, d_, sublanes=args.sublanes, clusters_hbm=args.hbm)
 
     @jax.jit
     def occl_f(nt, ct, o_, d_, tm):
         pt2 = pt._replace(node_table=nt, cluster_table=ct)
         return tk.packet_intersect(
-            pt2, o_, d_, t_max=tm, any_hit=True, sublanes=args.sublanes
+            pt2, o_, d_, t_max=tm, any_hit=True, sublanes=args.sublanes,
+            clusters_hbm=args.hbm,
         ).hit
 
     nt, ct = pt.node_table, pt.cluster_table
@@ -122,14 +124,16 @@ def main():
         pt2 = pt._replace(node_table=nt_, cluster_table=ct_)
         perm = jnp.argsort(wavefront._sort_key(q_))
         return tk.packet_intersect(
-            pt2, q_.origin[perm], q_.direction[perm], sublanes=args.sublanes
+            pt2, q_.origin[perm], q_.direction[perm], sublanes=args.sublanes,
+            clusters_hbm=args.hbm,
         )
 
     @jax.jit
     def unsorted_trace(nt_, ct_, q_):
         pt2 = pt._replace(node_table=nt_, cluster_table=ct_)
         return tk.packet_intersect(
-            pt2, q_.origin, q_.direction, sublanes=args.sublanes
+            pt2, q_.origin, q_.direction, sublanes=args.sublanes,
+            clusters_hbm=args.hbm,
         )
 
     dt = _time(sorted_trace, nt, ct, q)
@@ -149,7 +153,7 @@ def main():
         perm = jnp.argsort(wavefront._sort_key(q_))
         return tk.packet_intersect(
             pt2, q_.origin[perm], sd_[perm], t_max=dist_[perm, 0] * 0.999,
-            any_hit=True, sublanes=args.sublanes,
+            any_hit=True, sublanes=args.sublanes, clusters_hbm=args.hbm,
         ).hit
 
     dt = _time(shadow, nt, ct, q, sd, dist)
@@ -162,7 +166,7 @@ def main():
         def st_primary(nt_, ct_, o_, d_):
             pt2 = pt._replace(node_table=nt_, cluster_table=ct_)
             return tk.packet_intersect(
-                pt2, o_, d_, sublanes=args.sublanes, stats=True
+                pt2, o_, d_, sublanes=args.sublanes, stats=True, clusters_hbm=args.hbm
             )[1]
 
         @jax.jit
@@ -171,7 +175,7 @@ def main():
             perm = jnp.argsort(wavefront._sort_key(q_))
             return tk.packet_intersect(
                 pt2, q_.origin[perm], q_.direction[perm],
-                sublanes=args.sublanes, stats=True,
+                sublanes=args.sublanes, stats=True, clusters_hbm=args.hbm,
             )[1]
 
         @jax.jit
@@ -181,7 +185,7 @@ def main():
             return tk.packet_intersect(
                 pt2, q_.origin[perm], sd_[perm],
                 t_max=dist_[perm, 0] * 0.999, any_hit=True,
-                sublanes=args.sublanes, stats=True,
+                sublanes=args.sublanes, stats=True, clusters_hbm=args.hbm,
             )[1]
 
         import numpy as _np
@@ -192,7 +196,9 @@ def main():
             ("shadow+sort", st_shadow(nt, ct, q, sd, dist)),
         ):
             s = _np.asarray(jax.device_get(s)).astype(_np.float64)
-            node_p, leaf_p, node_ga, leaf_ga = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+            node_p, leaf_p, node_ga, leaf_ga = (
+                s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+            )
             print(
                 f"  stats {tag:11s}: node pops {node_p.mean():7.0f} "
                 f"(act {node_ga.mean()/_np.maximum(node_p.mean(),1):5.2f}/{n_groups}) "
