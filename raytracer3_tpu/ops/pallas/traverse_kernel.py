@@ -45,10 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracer3_tpu.ops import cluster_bvh as cb_mod
 from raytracer3_tpu.ops import intersect, mathx
 
-PACKET_SUBLANES = 256  # default sublane rows per packet (256 × 128 = 32768
+PACKET_SUBLANES = 512  # default sublane rows per packet (512 × 128 = 65536
 # rays; measured on v5e: bigger packets amortize the scalar per-node overhead,
 # and group-bit work skipping keeps the vector cost proportional to the rays
-# that actually want each subtree, so huge packets stay affordable)
+# that actually want each subtree. 512 sublanes (32 groups × 16 rows) beat
+# 256 and 1024 on every ray population; beyond that group granularity is too
+# coarse and the union cost wins.
 STACK = 64
 GROUP_ROWS = 8  # sublane rows per work-skipping group (one native VPU tile)
 _BG = mathx.BACKGROUND_DEPTH

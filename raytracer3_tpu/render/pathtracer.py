@@ -186,6 +186,7 @@ def _nee_contribution(
     settings: RenderSettings,
     alive_mask: jax.Array | None = None,
     sort_shadow: bool = False,
+    sort_bounds=None,
 ):
     """Sample one point on the emissive set (area-proportional), test
     visibility, MIS-weight against BRDF sampling."""
@@ -256,17 +257,15 @@ def _nee_contribution(
         # wavefront.py: permuting whole queues costs ~4.5 ms per array).
         from raytracer3_tpu.render import wavefront as _wf
 
-        perm = jnp.argsort(_wf.sort_key_pos_dir(shadow_o, wi_world, pre_ok))
+        perm = jnp.argsort(
+            _wf.sort_key_pos_dir(shadow_o, wi_world, pre_ok, sort_bounds)
+        )
         packed = jnp.concatenate(
             [shadow_o, wi_world, t_shadow[:, None]], axis=1
         )[perm]
         blocked_s = occluded_fn(packed[:, 0:3], packed[:, 3:6], packed[:, 6])
-        blocked = (
-            jnp.zeros(blocked_s.shape, jnp.float32)
-            .at[perm]
-            .set(blocked_s.astype(jnp.float32), unique_indices=True)
-            > 0.5
-        )
+        # Inverse-permutation gather (TPU scatter costs ~20 ms at 522k).
+        blocked = blocked_s[jnp.argsort(perm)]
     else:
         blocked = occluded_fn(shadow_o, wi_world, t_shadow)
 

@@ -20,7 +20,9 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sublanes", type=int, default=256)
+    ap.add_argument("--stub", action="store_true",
+                    help="replace the intersector with a constant hit (measures everything-but-traversal)")
+    ap.add_argument("--sublanes", type=int, default=512)
     ap.add_argument("--detail", type=int, default=2)
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--height", type=int, default=544)
@@ -51,14 +53,28 @@ def main():
         def frame(scene_, nt_, ct_, film, fi):
             pt2 = pt._replace(node_table=nt_, cluster_table=ct_)
 
-            def isect(o, d):
-                return tk.packet_intersect(pt2, o, d, sublanes=args.sublanes)
+            if args.stub:
+                from raytracer3_tpu.ops import intersect as isect_mod
 
-            def occl(o, d, tmax):
-                return tk.packet_intersect(
-                    pt2, o, d, t_max=tmax, any_hit=True,
-                    sublanes=args.sublanes,
-                ).hit
+                def isect(o, d):
+                    t = jnp.abs(o[:, 0]) * 0.01 + 1.0
+                    return isect_mod.Hit(
+                        t=t, uv=jnp.abs(d[:, :2]) * 0.3,
+                        prim_id=(o[:, 1] * 7).astype(jnp.int32) % 1000,
+                        hit=o[:, 0] < 1e20,
+                    )
+
+                def occl(o, d, tmax):
+                    return (o[:, 0] + d[:, 0]) * 0.0 > 1.0
+            else:
+                def isect(o, d):
+                    return tk.packet_intersect(pt2, o, d, sublanes=args.sublanes)
+
+                def occl(o, d, tmax):
+                    return tk.packet_intersect(
+                        pt2, o, d, t_max=tmax, any_hit=True,
+                        sublanes=args.sublanes,
+                    ).hit
 
             radiance = wavefront.render_frame(
                 scene_, cam, settings, fi, isect,
