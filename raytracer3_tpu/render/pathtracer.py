@@ -63,6 +63,47 @@ def _sample_env(scene: scene_types.Scene, directions: jax.Array) -> jax.Array:
     return scene.env_map[y, x]
 
 
+def _env_radiance_pdf(scene: scene_types.Scene, directions: jax.Array):
+    """(radiance, solid-angle pdf) of the environment along `directions` in
+    ONE gather (the env-MIS lookup for BRDF-sampled escapes)."""
+    uv = mathx.direction_to_equirect_uv(directions)
+    he, we = scene.env_rgbp.shape[0], scene.env_rgbp.shape[1]
+    x = jnp.clip((uv[..., 0] * we).astype(jnp.int32), 0, we - 1)
+    y = jnp.clip((uv[..., 1] * he).astype(jnp.int32), 0, he - 1)
+    rgbp = scene.env_rgbp[y, x]
+    return rgbp[..., 0:3], rgbp[..., 3]
+
+
+def _sample_env_light(scene: scene_types.Scene, u3: jax.Array):
+    """Importance-sample the environment via the alias table: ONE [N, 8]
+    gather → (direction, radiance, solid-angle pdf). An upgrade over the
+    reference (which only picks the env up on BRDF miss,
+    old/postprocess.slang:104)."""
+    tab = scene.env_sample_table
+    n_tex = tab.shape[0]
+    he, we = scene.env_rgbp.shape[0], scene.env_rgbp.shape[1]
+    k = jnp.clip((u3[:, 0] * n_tex).astype(jnp.int32), 0, n_tex - 1)
+    row = tab[k]  # [N, 16] — the single gather
+    take_alias = (u3[:, 1] >= row[:, 0])[:, None]
+    idx = jnp.where(
+        take_alias[:, 0], row[:, 1].astype(jnp.int32), k
+    )
+    pdf = jnp.where(take_alias[:, 0], row[:, 6], row[:, 2])
+    radiance = jnp.where(take_alias, row[:, 7:10], row[:, 3:6])
+    y = idx // we
+    x = idx % we
+    # Jitter within the texel for a continuous direction (the pdf is the
+    # texel's constant solid-angle pdf).
+    ju = u3[:, 2]
+    jv = (u3[:, 0] * 7919.0) % 1.0
+    uv = jnp.stack(
+        [(x.astype(jnp.float32) + ju) / we, (y.astype(jnp.float32) + jv) / he],
+        axis=-1,
+    )
+    d = mathx.equirect_uv_to_direction(uv)
+    return d, radiance, pdf
+
+
 def _face_forward(normal: jax.Array, wo_world: jax.Array) -> jax.Array:
     """Flip shading normals facing away from the viewer (two-sided shading,
     matching the reference's no-cull RT pipelines)."""
@@ -89,7 +130,10 @@ def trace_radiance(
     """
     n = origins.shape[0]
     radiance = jnp.zeros((n, 3), jnp.float32)
-    use_nee = occluded_fn is not None and int(scene.emissive.tri_ids.shape[0]) > 0
+    q_env = _env_mix_q(scene)
+    use_nee = occluded_fn is not None and (
+        int(scene.emissive.tri_ids.shape[0]) > 0 or q_env > 0.0
+    )
 
     for _ in range(settings.samples):
         ray_o = origins
@@ -115,7 +159,7 @@ def trace_radiance(
                 # solid angle: (1/total_area) * r^2 / cos_light.
                 cos_l = jnp.abs(mathx.dot(nrm, -ray_d, keepdims=False))
                 r2 = depth * depth
-                pdf_light = r2 / jnp.maximum(
+                pdf_light = (1.0 - q_env) * r2 / jnp.maximum(
                     cos_l * scene.emissive.total_area, 1e-20
                 )
                 is_emitter = jnp.max(surface.emissive, axis=-1) > 0.0
@@ -158,8 +202,16 @@ def trace_radiance(
 
             if b != settings.bounces - 1:
                 h = intersect_fn(ray_o, ray_d)
-                # Secondary miss → environment light then terminate.
-                env = _sample_env(scene, ray_d)
+                # Secondary miss → environment light then terminate (MIS-
+                # weighted against env NEE when active).
+                if use_nee and q_env > 0.0:
+                    env, env_pdf = _env_radiance_pdf(scene, ray_d)
+                    w_env = prev_pdf / jnp.maximum(
+                        prev_pdf + q_env * env_pdf, 1e-20
+                    )
+                    env = env * w_env[:, None]
+                else:
+                    env = _sample_env(scene, ray_d)
                 sample_radiance = sample_radiance + jnp.where(
                     (alive & ~h.hit)[:, None], throughput * env, 0.0
                 )
@@ -172,6 +224,16 @@ def trace_radiance(
         radiance = radiance + sample_radiance
 
     return radiance / float(settings.samples)
+
+
+def _env_mix_q(scene: scene_types.Scene) -> float:
+    """Probability of NEE picking the environment over the area-light set
+    (a static trace-time constant; 0 disables env NEE entirely)."""
+    if scene.env_sample_table is None:
+        return 0.0
+    if int(scene.emissive.tri_ids.shape[0]) == 0:
+        return 1.0
+    return 0.5
 
 
 def _nee_contribution(
@@ -188,48 +250,89 @@ def _nee_contribution(
     sort_shadow: bool = False,
     sort_bounds=None,
 ):
-    """Sample one point on the emissive set (area-proportional), test
-    visibility, MIS-weight against BRDF sampling."""
+    """One-sample next-event estimation over the light mixture: area lights
+    (area-proportional pick) and, when the scene has an environment, the
+    alias-sampled env (q = _env_mix_q). Visibility by shadow ray,
+    balance-heuristic MIS against BRDF sampling."""
     em = scene.emissive
-    # Pick a light triangle by area CDF.
-    li = jnp.searchsorted(em.cdf, u3[:, 0:1]).reshape(-1)
-    li = jnp.clip(li, 0, em.tri_ids.shape[0] - 1)
-    if em.light_table is not None:
-        # Single-gather light fetch (see EmissiveTable.light_table).
-        row = em.light_table[li]  # [N, 16]
-        v0 = row[:, 0:3]
-        e1 = row[:, 3:6]
-        e2 = row[:, 6:9]
-        le = row[:, 9:12]
-        valid_light = row[:, 12] > 0.5
-        v1 = v0 + e1
-        v2 = v0 + e2
+    has_area = int(em.tri_ids.shape[0]) > 0
+    if has_area:
+        # Pick a light triangle by area CDF.
+        li = jnp.searchsorted(em.cdf, u3[:, 0:1]).reshape(-1)
+        li = jnp.clip(li, 0, em.tri_ids.shape[0] - 1)
+        if em.light_table is not None:
+            # Single-gather light fetch (see EmissiveTable.light_table).
+            row = em.light_table[li]  # [N, 16]
+            v0 = row[:, 0:3]
+            e1 = row[:, 3:6]
+            e2 = row[:, 6:9]
+            le = row[:, 9:12]
+            valid_light = row[:, 12] > 0.5
+            v1 = v0 + e1
+            v2 = v0 + e2
+        else:
+            tri = em.tri_ids[li]
+            valid_light = tri >= 0
+            tid = jnp.clip(tri, 0, scene.num_triangles - 1)
+            idx = scene.indices[tid]
+            v0 = scene.positions[idx[:, 0]]
+            v1 = scene.positions[idx[:, 1]]
+            v2 = scene.positions[idx[:, 2]]
+            g = scene.geo_id[tid]
+            le = scene.materials.emission[g] * scene_types.EMISSION_SCALE
+        # Uniform point on triangle.
+        su = jnp.sqrt(jnp.maximum(u3[:, 1:2], 0.0))
+        b0 = 1.0 - su
+        b1 = u3[:, 2:3] * su
+        p = v0 * b0 + v1 * b1 + v2 * (1.0 - b0 - b1)
+
+        to_l = p - hit_pos
+        dist2 = mathx.dot(to_l, to_l)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+        wi_world = to_l / dist
+        l_nrm = mathx.normalize(jnp.cross(v1 - v0, v2 - v0))
+        cos_l = jnp.abs(mathx.dot(l_nrm, -wi_world, keepdims=False))
+
+        # pdf in solid-angle measure; area pick pdf = 1/total_area.
+        pdf_light = dist2[:, 0] / jnp.maximum(cos_l * em.total_area, 1e-20)
+        valid_sel = valid_light & (cos_l > 1e-6) & (pdf_light > 0.0)
+        pdf_sel = pdf_light
+        t_shadow = dist[:, 0] * (1.0 - 1e-3)
+        le_sel = le
     else:
-        tri = em.tri_ids[li]
-        valid_light = tri >= 0
-        tid = jnp.clip(tri, 0, scene.num_triangles - 1)
-        idx = scene.indices[tid]
-        v0 = scene.positions[idx[:, 0]]
-        v1 = scene.positions[idx[:, 1]]
-        v2 = scene.positions[idx[:, 2]]
-        g = scene.geo_id[tid]
-        le = scene.materials.emission[g] * scene_types.EMISSION_SCALE
-    # Uniform point on triangle.
-    su = jnp.sqrt(jnp.maximum(u3[:, 1:2], 0.0))
-    b0 = 1.0 - su
-    b1 = u3[:, 2:3] * su
-    p = v0 * b0 + v1 * b1 + v2 * (1.0 - b0 - b1)
+        # Env-only scenes: the mixture below (q_env == 1) replaces all of
+        # these placeholders per-lane.
+        n = hit_pos.shape[0]
+        wi_world = jnp.zeros((n, 3), jnp.float32).at[:, 1].set(1.0)
+        pdf_light = jnp.zeros((n,), jnp.float32)
+        valid_sel = jnp.zeros((n,), bool)
+        pdf_sel = pdf_light
+        t_shadow = jnp.zeros((n,), jnp.float32)
+        le_sel = jnp.zeros((n, 3), jnp.float32)
 
-    to_l = p - hit_pos
-    dist2 = mathx.dot(to_l, to_l)
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
-    wi_world = to_l / dist
-    l_nrm = mathx.normalize(jnp.cross(v1 - v0, v2 - v0))
-    cos_l = jnp.abs(mathx.dot(l_nrm, -wi_world, keepdims=False))
+    q_env = _env_mix_q(scene)
+    if q_env > 0.0:
+        # Mixture NEE: per lane, flip between the env (alias-sampled) and
+        # the area set. Selection probability folds into the pdf so the
+        # balance heuristic stays consistent with the BRDF-side pickups.
+        u_env, sampler = sampler.next3()
+        u_sel, sampler = sampler.next1()
+        wi_env, le_env, pdf_env = _sample_env_light(scene, u_env)
+        choose_env = u_sel < q_env
+        ce3 = choose_env[:, None]
+        wi_world = jnp.where(ce3, wi_env, wi_world)
+        le_sel = jnp.where(ce3, le_env, le_sel)
+        pdf_sel = jnp.where(
+            choose_env, q_env * pdf_env, (1.0 - q_env) * pdf_light
+        )
+        valid_sel = jnp.where(
+            choose_env, pdf_env > 0.0, valid_sel
+        )
+        t_shadow = jnp.where(
+            choose_env, mathx.BACKGROUND_DEPTH * 0.9, t_shadow
+        )
+
     cos_s = mathx.dot(normal, wi_world, keepdims=False)
-
-    # pdf in solid-angle measure; area pick pdf = 1/total_area.
-    pdf_light = dist2[:, 0] / jnp.maximum(cos_l * em.total_area, 1e-20)
 
     onb = mathx.build_orthonormal_basis(normal)
     wo_l = mathx.to_local(onb, wo_world)
@@ -242,15 +345,14 @@ def _nee_contribution(
         )
     # ev.pdf is projected-solid-angle; convert to solid angle for MIS.
     pdf_brdf = ev.pdf * jnp.maximum(wi_l[..., 2], 0.0)
-    mis_w = pdf_light / jnp.maximum(pdf_light + pdf_brdf, 1e-20)
+    mis_w = pdf_sel / jnp.maximum(pdf_sel + pdf_brdf, 1e-20)
 
     # Lanes whose NEE sample is already invalid skip the shadow traversal
     # (parked outside the scene → immediate miss in packet traversal).
-    pre_ok = valid_light & (cos_s > 0.0) & (cos_l > 1e-6) & (pdf_light > 0.0)
+    pre_ok = valid_sel & (cos_s > 0.0)
     if alive_mask is not None:
         pre_ok = pre_ok & alive_mask
     shadow_o = jnp.where(pre_ok[:, None], hit_pos + normal * 1e-3, 1e30)
-    t_shadow = dist[:, 0] * (1.0 - 1e-3)
     if sort_shadow:
         # Coherence-sort the shadow batch into the traversal and scatter the
         # occlusion bits back — the queue itself stays in pixel order (see
@@ -271,8 +373,8 @@ def _nee_contribution(
 
     contrib = (
         ev.value
-        * le
-        * (cos_s * mis_w / jnp.maximum(pdf_light, 1e-20))[:, None]
+        * le_sel
+        * (cos_s * mis_w / jnp.maximum(pdf_sel, 1e-20))[:, None]
     )
     ok = pre_ok & ~blocked
     return jnp.where(ok[:, None], contrib, 0.0), sampler

@@ -146,7 +146,10 @@ def trace_wavefront(
     """Run the bounce loop on an initialized wavefront whose first hit is
     already recorded in (depth, prim_id, uv, alive). Returns the final queue
     with radiance accumulated (pixel order = q.pixel_id)."""
-    use_nee = occluded_fn is not None and int(scene.emissive.tri_ids.shape[0]) > 0
+    q_env = pathtracer._env_mix_q(scene)
+    use_nee = occluded_fn is not None and (
+        int(scene.emissive.tri_ids.shape[0]) > 0 or q_env > 0.0
+    )
     # Scene AABB for Morton sort keys, computed once per frame.
     sort_bounds = (
         jnp.min(scene.positions, axis=0), jnp.max(scene.positions, axis=0)
@@ -163,7 +166,7 @@ def trace_wavefront(
         emit_w = jnp.ones(q.alive.shape, jnp.float32)
         if use_nee:
             cos_l = jnp.abs(mathx.dot(nrm, -q.direction, keepdims=False))
-            pdf_light = (q.depth * q.depth) / jnp.maximum(
+            pdf_light = (1.0 - q_env) * (q.depth * q.depth) / jnp.maximum(
                 cos_l * scene.emissive.total_area, 1e-20
             )
             is_emitter = jnp.max(surface.emissive, axis=-1) > 0.0
@@ -221,7 +224,13 @@ def trace_wavefront(
             h = sorted_trace(intersect_fn, park, new_dir, alive, sort_bounds)
         else:
             h = intersect_fn(park, new_dir)
-        env = pathtracer._sample_env(scene, new_dir)
+        if use_nee and q_env > 0.0:
+            # BRDF-sampled env escape, MIS-weighted against env NEE.
+            env, env_pdf = pathtracer._env_radiance_pdf(scene, new_dir)
+            w_env = prev_pdf / jnp.maximum(prev_pdf + q_env * env_pdf, 1e-20)
+            env = env * w_env[:, None]
+        else:
+            env = pathtracer._sample_env(scene, new_dir)
         radiance = radiance + jnp.where(
             (alive & ~h.hit)[:, None], throughput * env, 0.0
         )

@@ -82,6 +82,15 @@ class Scene(NamedTuple):
     # shading rotates normals by the hit instance's object→world normal
     # matrix (row-major 3×3). None for flattened scenes.
     inst_normal_mats: Optional[jax.Array] = None  # [I, 9] f32
+    # Environment importance sampling (alias method over luminance·sinθ —
+    # an upgrade over the reference, which only picks the env up on miss):
+    # per-texel row: prob(1) alias(1) pdf_self(1) rgb_self(3) pdf_alias(1)
+    # rgb_alias(3) pad(6) — the alias branch's pdf/radiance are denormalized
+    # into the row so ONE [N,16] gather samples a direction; env_rgbp
+    # [He,We,4] = (r,g,b,pdf) gives the MIS pdf of BRDF-sampled escapes in
+    # the same gather as the radiance.
+    env_sample_table: Optional[jax.Array] = None  # [He*We, 16] f32
+    env_rgbp: Optional[jax.Array] = None  # [He, We, 4] f32
 
     @property
     def num_triangles(self) -> int:
@@ -383,6 +392,64 @@ def _next_pow2_int(n: int) -> int:
     return p
 
 
+def _vose_alias(p: np.ndarray):
+    """Vose's alias method: O(1) sampling of a discrete distribution.
+    p must sum to 1. Returns (prob [N], alias [N] int32)."""
+    n = len(p)
+    scaled = p * n
+    prob = np.zeros(n, np.float32)
+    alias = np.zeros(n, np.int32)
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    scaled = scaled.copy()
+    while small and large:
+        s = small.pop()
+        l_ = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l_
+        scaled[l_] = (scaled[l_] + scaled[s]) - 1.0
+        if scaled[l_] < 1.0:
+            small.append(l_)
+        else:
+            large.append(l_)
+    for i in large + small:
+        prob[i] = 1.0
+        alias[i] = i
+    return prob, alias
+
+
+def build_env_tables(env_map: np.ndarray):
+    """Luminance·sinθ-weighted alias table + solid-angle pdf map for an
+    equirect HDR environment. Returns (sample_table [He*We, 8],
+    rgbp [He, We, 4]) — see Scene.env_sample_table."""
+    env = np.asarray(env_map, np.float32)
+    he, we = env.shape[0], env.shape[1]
+    lum = 0.2126 * env[..., 0] + 0.7152 * env[..., 1] + 0.0722 * env[..., 2]
+    theta = (np.arange(he, dtype=np.float64) + 0.5) / he * np.pi
+    sin_t = np.sin(theta)[:, None]
+    w = np.maximum(lum, 0.0) * sin_t
+    total = w.sum()
+    if total <= 0.0:
+        w = np.ones_like(w) * sin_t
+        total = w.sum()
+    p = (w / total).reshape(-1)
+    prob, alias = _vose_alias(p)
+    # Solid angle of texel (y, x): dΩ = (2π/We)(π/He) sinθ_y.
+    d_omega = (2.0 * np.pi / we) * (np.pi / he) * np.maximum(sin_t, 1e-8)
+    pdf = (p.reshape(he, we) / d_omega).astype(np.float32)
+    pdf_flat = pdf.reshape(-1)
+    rgb_flat = env.reshape(-1, 3)
+    table = np.zeros((he * we, 16), np.float32)
+    table[:, 0] = prob
+    table[:, 1] = alias.astype(np.float32)
+    table[:, 2] = pdf_flat
+    table[:, 3:6] = rgb_flat
+    table[:, 6] = pdf_flat[alias]
+    table[:, 7:10] = rgb_flat[alias]
+    rgbp = np.concatenate([env, pdf[..., None]], axis=-1).astype(np.float32)
+    return table, rgbp
+
+
 def make_scene(
     positions: np.ndarray,
     normals: np.ndarray,
@@ -426,6 +493,14 @@ def make_scene(
     mt[:, 7] = np.asarray(roughness, np.float32)
     mt[:, 8] = np.asarray(base_color_texture, np.float32)
 
+    env_kw = {}
+    if env_map is not None:
+        st_env, rgbp = build_env_tables(env_map)
+        env_kw = dict(
+            env_sample_table=jnp.asarray(st_env),
+            env_rgbp=jnp.asarray(rgbp),
+        )
+
     return Scene(
         positions=jnp.asarray(positions, jnp.float32),
         normals=jnp.asarray(normals, jnp.float32),
@@ -444,4 +519,5 @@ def make_scene(
         emissive=build_emissive_table(positions, indices, geo_id, emission),
         shade_table=jnp.asarray(st),
         mat_table=jnp.asarray(mt),
+        **env_kw,
     )
