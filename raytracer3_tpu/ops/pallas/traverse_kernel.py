@@ -596,7 +596,17 @@ def packet_intersect(
         two_level=two_level, tlas_nodes=pt.tlas_nodes,
         num_clusters=pt.num_clusters,
     )
-    cluster_space = pltpu.ANY if clusters_hbm else pltpu.VMEM
+    # Explicit HBM (not ANY): the compiler may otherwise place wide cluster
+    # tables in VMEM, where 1-row DMA slices hit sublane-tiling limits.
+    cluster_space = pltpu.HBM if clusters_hbm else pltpu.VMEM
+    if clusters_hbm and pt.cluster_table.shape[1] != 128:
+        # Mosaic rejects 1-row DMA slices of multi-lane-tile rows
+        # ("Slice shape along dimension 0 must be aligned to tiling (8)"),
+        # so HBM mode requires single-tile cluster rows (leaf_size ≤ 12).
+        raise ValueError(
+            "clusters_hbm requires 128-lane cluster rows (leaf_size <= 12); "
+            f"got row length {pt.cluster_table.shape[1]}"
+        )
     in_specs = [
         pl.BlockSpec((1, 8, sublanes, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),

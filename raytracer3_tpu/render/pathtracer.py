@@ -93,9 +93,17 @@ def _sample_env_light(scene: scene_types.Scene, u3: jax.Array):
     y = idx // we
     x = idx % we
     # Jitter within the texel for a continuous direction (the pdf is the
-    # texel's constant solid-angle pdf).
+    # texel's constant solid-angle pdf). jv reuses the alias-test uniform,
+    # rescaled to its conditional range (uniform again by construction —
+    # deriving it from u3[:, 0] would correlate it with the texel choice).
     ju = u3[:, 2]
-    jv = (u3[:, 0] * 7919.0) % 1.0
+    prob = row[:, 0]
+    jv = jnp.where(
+        take_alias[:, 0],
+        (u3[:, 1] - prob) / jnp.maximum(1.0 - prob, 1e-9),
+        u3[:, 1] / jnp.maximum(prob, 1e-9),
+    )
+    jv = jnp.clip(jv, 0.0, 0.999999)
     uv = jnp.stack(
         [(x.astype(jnp.float32) + ju) / we, (y.astype(jnp.float32) + jv) / he],
         axis=-1,
