@@ -247,3 +247,118 @@ def test_two_level_hbm_clusters(instanced_module=None):
     np.testing.assert_array_equal(np.asarray(a.prim_id), np.asarray(b.prim_id))
     np.testing.assert_array_equal(np.asarray(a.inst), np.asarray(b.inst))
     np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+
+
+def test_instanced_render_matches_flattened():
+    """End-to-end: a wavefront render of an instanced (TLAS) scene — object-
+    space shade tables + per-instance normal rotation — must statistically
+    match the same geometry flattened to world space (brute backend)."""
+    import jax
+    from raytracer3_tpu.app import world as world_mod
+    from raytracer3_tpu.ops import intersect as isect_mod
+    from raytracer3_tpu.render import wavefront
+    from raytracer3_tpu.render.camera import Camera
+    from raytracer3_tpu.scene import types as scene_types
+    from raytracer3_tpu.utils.config import RenderSettings
+
+    m = _box_mesh()
+    nrm = m["positions"] / np.maximum(
+        np.linalg.norm(m["positions"], axis=-1, keepdims=True), 1e-9
+    )
+    uv = np.zeros((len(m["positions"]), 2), np.float32)
+    geo = np.zeros(len(m["indices"]), np.int32)
+
+    instances = [
+        (0, _transform(-1.2, 0.5, 0.0, yaw=0.6)),
+        (0, _transform(1.2, 0.5, 0.3, s=1.4, yaw=2.1)),
+    ]
+    mats = dict(
+        base_color=np.asarray([[0.7, 0.4, 0.3, 1.0]], np.float32),
+        emission=np.zeros((1, 3), np.float32),
+        metallic=np.zeros(1, np.float32),
+        roughness=np.ones(1, np.float32),
+    )
+    # Emissive panel above, shared by both scenes (world space, identity
+    # instance) so NEE runs.
+    panel_v = np.asarray(
+        [[-1, 3, -1], [1, 3, -1], [1, 3, 1], [-1, 3, 1]], np.float32
+    )
+    panel_f = np.asarray([[0, 2, 1], [0, 3, 2]], np.int32)
+
+    # --- instanced world ---------------------------------------------------
+    w = world_mod.World()
+    w.add_material(**{k: v[0] for k, v in mats.items()})
+    w.add_material((1, 1, 1, 1), emission=(3.0, 3.0, 3.0))
+    h = w.add_mesh(m["positions"], nrm, uv, m["indices"], geo)
+    hp = w.add_mesh(
+        panel_v, np.tile([[0, -1, 0]], (4, 1)).astype(np.float32),
+        np.zeros((4, 2), np.float32), panel_f, np.ones(2, np.int32),
+    )
+    for mi, t in instances:
+        w.spawn(h, transform=t)
+    w.spawn(hp)
+    scene_i = w.scene_instanced()
+    backend_i = w.tlas_backend(leaf_size=4, width=8, sublanes=SUBLANES, interpret=True)
+
+    # --- flattened reference ----------------------------------------------
+    pos_parts, idx_parts, geo_parts, nrm_parts = [], [], [], []
+    voff = 0
+    for mi, t in instances:
+        p = m["positions"] @ t[:3, :3].T + t[:3, 3]
+        r3 = t[:3, :3]
+        nmat = np.linalg.inv(r3).T
+        n2 = nrm @ nmat.T
+        n2 /= np.maximum(np.linalg.norm(n2, axis=-1, keepdims=True), 1e-9)
+        pos_parts.append(p.astype(np.float32))
+        nrm_parts.append(n2.astype(np.float32))
+        idx_parts.append(m["indices"] + voff)
+        geo_parts.append(geo)
+        voff += len(p)
+    pos_parts.append(panel_v)
+    nrm_parts.append(np.tile([[0, -1, 0]], (4, 1)).astype(np.float32))
+    idx_parts.append(panel_f + voff)
+    geo_parts.append(np.ones(2, np.int32))
+    scene_f = scene_types.make_scene(
+        positions=np.concatenate(pos_parts),
+        normals=np.concatenate(nrm_parts),
+        uvs=np.zeros((voff + 4, 2), np.float32),
+        indices=np.concatenate(idx_parts),
+        geo_id=np.concatenate(geo_parts),
+        base_color=np.concatenate(
+            [mats["base_color"], [[1, 1, 1, 1]]]
+        ).astype(np.float32),
+        emission=np.asarray([[0, 0, 0], [3.0, 3.0, 3.0]], np.float32),
+        metallic=np.zeros(2, np.float32),
+        roughness=np.ones(2, np.float32),
+    )
+    backend_f = isect_mod.brute_backend(scene=scene_f)
+
+    cam = Camera.create(
+        position=(0.0, 1.2, -4.5), direction=(0.0, 0.0, 1.0),
+        fov_y_deg=55.0, aspect=1.0,
+    )
+    s = RenderSettings(width=40, height=40, bounces=2, samples=1)
+
+    def render(scene, backend, n_frames, sort):
+        isect, occl = backend.bind(backend.arrays)
+        frame = jax.jit(
+            lambda fi: wavefront.render_frame(
+                scene, cam, s, fi, isect, occl, sort_rays=sort,
+            )
+        )
+        acc = np.zeros((40, 40, 3), np.float32)
+        for i in range(n_frames):
+            acc += np.asarray(frame(jnp.uint32(i)))
+        return acc / n_frames
+
+    img_i = render(scene_i, backend_i, 6, True)
+    img_f = render(scene_f, backend_f, 6, False)
+    assert np.isfinite(img_i).all() and np.isfinite(img_f).all()
+    # Same estimator (same RNG streams, same sampling), different backend +
+    # shading path: images should be close, means very close.
+    rel = abs(img_i.mean() - img_f.mean()) / max(img_f.mean(), 1e-6)
+    assert rel < 0.05, f"mean mismatch {rel:.3f}"
+    lit = (img_f.max(-1) > 0.05) & (img_i.max(-1) > 0.05)
+    assert lit.sum() > 200
+    px_rel = np.abs(img_i[lit] - img_f[lit]).mean() / img_f[lit].mean()
+    assert px_rel < 0.35, f"pixel mismatch {px_rel:.3f}"
