@@ -169,3 +169,54 @@ class TestWavefront:
             wavefront.render_frame(scene, cam, s, 0, isect, occl, blue_noise=bn)
         )
         assert np.isfinite(img).all() and img.max() > 0
+
+
+class TestTileSwizzle:
+    """The tile-swizzled ray order is undone by pure reshapes; per-pixel RNG
+    is keyed by pixel coords, so tiled and raster ray orders must produce
+    bit-identical images (a wrong un-swizzle scrambles silently)."""
+
+    def _render(self, w, h, tiled):
+        import jax
+
+        from raytracer3_tpu.ops import intersect as isect_mod
+        from raytracer3_tpu.render import wavefront
+        from raytracer3_tpu.scene import analytic
+        from raytracer3_tpu.utils.config import RenderSettings
+
+        scene = analytic.cornell_box()
+        cam = analytic.default_camera()
+        backend = isect_mod.brute_backend(scene=scene)
+        isect, occl = backend.bind(backend.arrays)
+        s = RenderSettings(width=w, height=h, bounces=1, samples=1, diffuse_only=True)
+        return np.asarray(
+            jax.jit(
+                lambda fi: wavefront.render_frame(
+                    scene, cam, s, fi, isect, occl, sort_rays=tiled,
+                    tile_primaries=tiled,
+                )
+            )(jnp.uint32(3))
+        )
+
+    def test_tile_64_rows(self):
+        a = self._render(128, 64, True)
+        b = self._render(128, 64, False)
+        np.testing.assert_array_equal(a, b)
+
+    def test_adaptive_tile_16_rows(self):
+        # 48 % 64 != 0 → pick_tile falls to 16-row tiles (the 720p case).
+        from raytracer3_tpu.render import wavefront
+
+        assert wavefront.pick_tile(128, 48) == (128, 16)
+        a = self._render(128, 48, True)
+        b = self._render(128, 48, False)
+        np.testing.assert_array_equal(a, b)
+
+    def test_raster_fallback(self):
+        # 100 columns: no tile divides → raster order (identity un-swizzle).
+        from raytracer3_tpu.render import wavefront
+
+        assert wavefront.pick_tile(100, 64) is None
+        a = self._render(100, 64, True)
+        b = self._render(100, 64, False)
+        np.testing.assert_array_equal(a, b)
