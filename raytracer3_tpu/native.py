@@ -230,16 +230,18 @@ def build_sah_bvh(bmin: np.ndarray, bmax: np.ndarray):
     leaf = np.zeros(n, np.int32)
     cnt = lib.rt3_build_sah_bvh(bmin, bmax, n, left, right, nmin, nmax, leaf)
     assert cnt == n - 1, f"SAH builder emitted {cnt} internals, expected {n-1}"
-    import jax.numpy as jnp
-
     from raytracer3_tpu.ops import bvh as bvh_mod
 
+    # HOST arrays on purpose: the only consumer is the host-side collapse
+    # (cluster_bvh.build_cluster_bvh_host); returning device arrays made the
+    # caller's jax.device_get pull 5 arrays back through the tunneled TPU
+    # (~60 s measured, the round-2 "464 s BVH build").
     return bvh_mod.BVH(
-        node_min=jnp.asarray(nmin),
-        node_max=jnp.asarray(nmax),
-        node_left=jnp.asarray(left),
-        node_right=jnp.asarray(right),
-        leaf_tri=jnp.asarray(leaf),
+        node_min=nmin,
+        node_max=nmax,
+        node_left=left,
+        node_right=right,
+        leaf_tri=leaf,
     )
 
 

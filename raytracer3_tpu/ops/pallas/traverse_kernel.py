@@ -101,19 +101,23 @@ def pack_two_level(tl) -> PacketTables:
     )
 
 
-def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
+def pack_tables_host(cb: cb_mod.ClusterBVH) -> PacketTables:
     """Repack ClusterBVH for the kernel: cluster rows append triangle ids.
-    Row length is the lane-multiple that fits 9·L floats + L ids."""
+    Row length is the lane-multiple that fits 9·L floats + L ids.
+
+    Tables stay HOST numpy — per-treelet builders (ops/treelets.py) repack
+    dozens of these, and a device upload + readback per part costs seconds
+    each through the tunneled TPU runtime."""
     ls = cb.leaf_size
     row_len = ((9 * ls + ls + 127) // 128) * 128
-    ct = np.asarray(cb.cluster_table)
-    tids = np.asarray(cb.tri_id).astype(np.float32)
+    ct = np.asarray(jax.device_get(cb.cluster_table))
+    tids = np.asarray(jax.device_get(cb.tri_id)).astype(np.float32)
     rows = np.zeros((ct.shape[0], row_len), np.float32)
     rows[:, : 9 * ls] = ct[:, : 9 * ls]
     rows[:, 9 * ls : 9 * ls + ls] = tids
     return PacketTables(
-        node_table=jnp.asarray(cb.node_table),
-        cluster_table=jnp.asarray(rows),
+        node_table=np.asarray(jax.device_get(cb.node_table)),
+        cluster_table=rows,
         leaf_size=ls,
         num_nodes=cb.num_nodes,
         num_clusters=cb.num_clusters,
@@ -122,11 +126,17 @@ def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
     )
 
 
+def pack_tables(cb: cb_mod.ClusterBVH) -> PacketTables:
+    """pack_tables_host + one device upload of the two tables."""
+    pt = pack_tables_host(cb)
+    return pt._replace(
+        node_table=jnp.asarray(pt.node_table),
+        cluster_table=jnp.asarray(pt.cluster_table),
+    )
+
+
 def _kernel(
-    rays_ref,  # [1, 8, S, 128]: attr (ox oy oz dx dy dz tmax unused)
-    nodes_ref,  # [M, 64|128]
-    clusters_ref,  # [C, 128]
-    *rest,  # ([I, 32] inst table if two_level) out_ref, ([1,8] SMEM if stats)
+    *refs,  # see unpacking below
     leaf_size: int,
     any_hit: bool,
     t_min: float,
@@ -137,13 +147,32 @@ def _kernel(
     two_level: bool = False,
     tlas_nodes: int = 0,
     num_clusters: int = 0,
+    seg: bool = False,
 ):
-    if two_level:
-        inst_ref, out_ref, *maybe_stats_ref = rest
-    else:
+    """Packet traversal body. Two invocation shapes:
+
+    - whole-tree (seg=False): (rays, nodes, clusters, [inst], out, [stats]);
+      rays block [1, 8, S, 128], tables whole-array refs.
+    - segment grid (seg=True): (seg_gmask, rays, nodes, clusters, out) over
+      grid (segments, E); seg_gmask [S, E] SMEM scalar-prefetch carries the
+      sublane-group activation bits of the e-th candidate treelet of segment
+      s (0 = skip step); tables are per-treelet blocks [1, Mt, row_len].
+      The out block stays resident across e, so best-t accumulates and
+      later (farther) treelets are t-culled (ops/treelets.py driver).
+    """
+    if seg:
+        # slist_ref drives the BlockSpec index_maps only (table DMA).
+        slist_ref, sgm_ref, rays_ref, nodes_ref, clusters_ref, out_ref = refs
+        del slist_ref
         inst_ref = None
-        out_ref, *maybe_stats_ref = rest
-    stats_ref = maybe_stats_ref[0] if stats else None
+        stats_ref = None
+    elif two_level:
+        rays_ref, nodes_ref, clusters_ref, inst_ref, out_ref, *m = refs
+        stats_ref = m[0] if stats else None
+    else:
+        rays_ref, nodes_ref, clusters_ref, out_ref, *m = refs
+        inst_ref = None
+        stats_ref = m[0] if stats else None
     sublanes = rays_ref.shape[2]
     # Group bitmasks live in int32 stacks → at most 32 groups; huge packets
     # widen each group (rows) instead of adding groups.
@@ -152,6 +181,11 @@ def _kernel(
     all_bits = -1 if n_groups >= 32 else (1 << n_groups) - 1
     out_ch = 5 if two_level else 4
     pid = pl.program_id(0) if stats else None
+    if seg:
+        # Grid position + this step's group mask, read OUTSIDE run_scoped
+        # (program_id is unavailable inside the scoped discharge).
+        seg_e = pl.program_id(1)
+        seg_gm = sgm_ref[pl.program_id(0), seg_e]
 
     def scoped(*scratch):
         it = iter(scratch)
@@ -197,15 +231,36 @@ def _kernel(
 
         # Hit state lives in the output ref so leaf groups can update their
         # own [rows, 128] slab without touching the rest of the packet.
-        out_ref[0, 0] = t_cap  # best_t
-        out_ref[0, 1] = jnp.zeros_like(ox)  # u
-        out_ref[0, 2] = jnp.zeros_like(ox)  # v
-        out_ref[0, 3] = jnp.full_like(ox, -1.0)  # prim id (float)
-        if two_level:
-            out_ref[0, 4] = jnp.full_like(ox, -1.0)  # instance id (float)
+        def init_out():
+            out_ref[0, 0] = t_cap  # best_t
+            out_ref[0, 1] = jnp.zeros_like(ox)  # u
+            out_ref[0, 2] = jnp.zeros_like(ox)  # v
+            out_ref[0, 3] = jnp.full_like(ox, -1.0)  # prim id (float)
+            if two_level:
+                out_ref[0, 4] = jnp.full_like(ox, -1.0)  # instance id
+
+        if seg:
+            # Grid step (s, e): init hit state only on the segment's first
+            # step; skip the whole traversal when the e-th candidate slot is
+            # empty (gmask 0) or — any-hit — every lane already resolved.
+            @pl.when(seg_e == 0)
+            def _():
+                init_out()
+
+            gm0 = seg_gm
+            go = gm0 != 0
+            if any_hit:
+                resolved = (out_ref[0, 3] >= 0.0) | (t_cap <= t_min)
+                go = go & jnp.logical_not(jnp.all(resolved))
+            root_bits = gm0
+            sp0 = jnp.where(go, jnp.int32(1), jnp.int32(0))
+        else:
+            init_out()
+            root_bits = jnp.int32(all_bits)
+            sp0 = jnp.int32(1)
 
         stack_ref[0] = 0  # root
-        gbits_ref[0] = jnp.int32(all_bits)
+        gbits_ref[0] = root_bits
 
         # The stack pointer travels in the while carry, NOT in SMEM: a loop
         # condition reading a mutated ref never terminates in interpret mode,
@@ -225,7 +280,9 @@ def _kernel(
                 # tests (inactive groups skipped entirely), order children
                 # near-first, push every taken child (leaf codes and internal
                 # ids share the stack; leaves are handled at pop).
-                row = nodes_ref[entry]  # scalar dynamic index
+                row = (
+                    nodes_ref[0, entry] if seg else nodes_ref[entry]
+                )  # scalar dynamic index
                 slot_codes = [row[6 * width + s] for s in range(width)]
                 slot_real = [
                     jnp.abs(code + 1.0) > 0.25 for code in slot_codes
@@ -349,6 +406,8 @@ def _kernel(
                     dma.start()
                     dma.wait()
                     crow = cbuf_ref[0]
+                elif seg:
+                    crow = clusters_ref[0, cl]  # [row_len]
                 else:
                     crow = clusters_ref[cl]  # [row_len]
                 # Triangle scalars extracted once; broadcast inside each
@@ -528,7 +587,7 @@ def _kernel(
                 )
             return out
 
-        init = {"sp": jnp.int32(1)}
+        init = {"sp": sp0}
         if two_level:
             init["inst"] = jnp.int32(-1)  # world space
         if stats:
@@ -652,6 +711,73 @@ def packet_intersect(
     if stats:
         return hit, stat_rows
     return hit
+
+
+def packet_intersect_segments(
+    tt,
+    seg_list: jax.Array,  # [S, E] int32 treelet id per candidate slot (DMA)
+    seg_gmask: jax.Array,  # [S, E] int32 group-activation bits (0 = skip)
+    origins: jax.Array,  # [S*p, 3] rays already in segment order
+    directions: jax.Array,  # [S*p, 3]
+    t_cap: jax.Array,  # [S*p] per-ray cap (0 parks a lane)
+    t_min: float = 1e-4,
+    any_hit: bool = False,
+    interpret: bool = False,
+    sublanes: int = 64,
+) -> jax.Array:
+    """Segment-grid packet traversal over per-treelet tables (see
+    ops/treelets.py driver + _kernel docstring). Returns [4, S*p] rows
+    (t, u, v, prim-id-as-float) in the caller's ray order."""
+    s_count = seg_list.shape[0]
+    e_count = seg_list.shape[1]
+    p = sublanes * 128
+    n = origins.shape[0]
+    assert n == s_count * p, (n, s_count, p)
+
+    o, d = origins, directions
+    rays = jnp.stack(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_cap, t_cap],
+        axis=0,
+    ).reshape(8, s_count, sublanes, 128).transpose(1, 0, 2, 3)
+
+    stack = max(STACK, (tt.width - 1) * tt.depth + 1 + tt.depth)
+    kernel = functools.partial(
+        _kernel, leaf_size=tt.leaf_size, any_hit=any_hit, t_min=t_min,
+        width=tt.width, stack=stack, seg=True,
+    )
+    row_len = tt.node_tables.shape[2]
+    lane = tt.cluster_tables.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s_count, e_count),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, sublanes, 128), lambda s, e, sl, sg: (s, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tt.max_nodes, row_len),
+                lambda s, e, sl, sg: (sl[s, e], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tt.max_clusters, lane),
+                lambda s, e, sl, sg: (sl[s, e], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, sublanes, 128), lambda s, e, sl, sg: (s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s_count, 4, sublanes, 128), jnp.float32),
+        interpret=interpret,
+    )(seg_list, seg_gmask, rays, tt.node_tables, tt.cluster_tables)
+    return out.transpose(1, 0, 2, 3).reshape(4, n)
 
 
 # Cluster tables beyond this VMEM share spill to HBM with per-leaf DMA

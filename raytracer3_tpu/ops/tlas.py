@@ -64,7 +64,7 @@ def build_mesh_blas(v0, v1, v2, leaf_size: int = 12, width: int = 16) -> _MeshBL
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
 
     cb = cb_mod.build_cluster_bvh_host(v0, v1, v2, leaf_size, width=width)
-    pt = tk.pack_tables(cb)
+    pt = tk.pack_tables_host(cb)  # host tables: no per-mesh tunnel round-trip
     nodes = np.asarray(pt.node_table)
     lo = np.minimum(np.minimum(v0.min(0), v1.min(0)), v2.min(0))
     hi = np.maximum(np.maximum(v0.max(0), v1.max(0)), v2.max(0))

