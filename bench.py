@@ -52,26 +52,31 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces, n_frames=3):
     @jax.jit
     def frame(scene_, bvh, bn, film, fi):
         isect, occl = backend.bind(bvh)
-        radiance = wavefront.render_frame(
-            scene_, cam, settings, fi, isect, occl, sort_rays=True,
-            blue_noise=bn,
+        radiance, traced = wavefront.render_frame(
+            scene_, cam, settings, fi, isect, occl,
+            sort_rays=not backend.self_sorting,  # treelets sort internally
+            blue_noise=bn, return_stats=True,
         )
-        return film_mod.accumulate_progressive(film, radiance)
+        return film_mod.accumulate_progressive(film, radiance), traced
 
     film = film_mod.Film.create(height, width)
-    film = frame(scene, backend.arrays, blue_noise, film, jnp.uint32(0))
-    jax.block_until_ready(film.accum)
+    film, traced = frame(scene, backend.arrays, blue_noise, film, jnp.uint32(0))
+    int(traced)  # scalar pull: block_until_ready can lie on this runtime
 
     t0 = time.perf_counter()
+    measured_rays = 0
     for i in range(1, n_frames + 1):
-        film = frame(scene, backend.arrays, blue_noise, film, jnp.uint32(i))
-    jax.block_until_ready(film.accum)
+        film, traced = frame(scene, backend.arrays, blue_noise, film, jnp.uint32(i))
+        measured_rays += int(traced)  # forces the frame; negligible transfer
     dt = (time.perf_counter() - t0) / n_frames
 
-    # Rays per pixel: 1 primary + (bounces-1) secondary closest-hit +
-    # bounces NEE shadow rays.
-    rays_per_pixel = 1 + (bounces - 1) + bounces
-    mrays = width * height * rays_per_pixel / dt / 1e6
+    # Nominal rays/pixel: 1 primary + bounces closest-hit + bounces NEE
+    # shadow. The *measured* count (alive lanes actually traced, from
+    # render_frame's meter) is the honest Mray/s numerator — Russian
+    # roulette and escaped lanes make it smaller.
+    rays_per_pixel = 1 + bounces + bounces
+    mrays_nominal = width * height * rays_per_pixel / dt / 1e6
+    mrays = measured_rays / n_frames / dt / 1e6
     return {
         "config": tag,
         "width": width,
@@ -81,8 +86,76 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces, n_frames=3):
         "frame_ms": round(dt * 1e3, 1),
         "fps": round(1.0 / dt, 2),
         "mrays_per_s_per_chip": round(mrays, 3),
+        "nominal_mrays_per_s_per_chip": round(mrays_nominal, 3),
+        "measured_rays_per_pixel": round(
+            measured_rays / n_frames / (width * height), 2
+        ),
         "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 4),
     }
+
+
+def run_probe_config(tag, scene, host_tris, cam, width, height, n_frames=3):
+    """Probe-GI pipeline cost on chip (the reference's flagship GI mode,
+    shaders/old/trace_probes.slang): G-buffer → SIS → probe trace → SH →
+    interpolate → AgX, one jitted step."""
+    import jax.numpy as jnp
+
+    from raytracer3_tpu.ops.pallas import traverse_kernel as tk
+    from raytracer3_tpu.render import pipelines
+    from raytracer3_tpu.utils.config import RenderSettings
+
+    backend = tk.packet_backend(host_tris=host_tris)
+    settings = RenderSettings(width=width, height=height, bounces=1, samples=1)
+    step, init_state = pipelines.probe_gi_pipeline(
+        scene, settings, backend=backend
+    )
+    state = init_state()
+    disp, state = step(state, cam=cam, frame_index=jnp.uint32(0))
+    float(jnp.sum(disp))  # scalar pull (block_until_ready lies here)
+    t0 = time.perf_counter()
+    for i in range(1, n_frames + 1):
+        disp, state = step(state, cam=cam, frame_index=jnp.uint32(i))
+        float(jnp.sum(disp))
+    dt = (time.perf_counter() - t0) / n_frames
+    return {
+        "config": tag,
+        "width": width,
+        "height": height,
+        "tris": int(host_tris[0].shape[0]),
+        "frame_ms": round(dt * 1e3, 1),
+        "fps": round(1.0 / dt, 2),
+    }
+
+
+def sponza_world_scene(detail: int = 8):
+    """North-star scene through the REAL ingest path (BASELINE config 4 +
+    reference src/assets/mod.rs:180-286 parity): procedural atrium → GLB
+    blob → processed-asset cache → World pools → Scene + host tris."""
+    import os
+
+    import numpy as np
+
+    from raytracer3_tpu.app import world as world_mod
+    from raytracer3_tpu.scene import assets, procedural
+    from raytracer3_tpu.scene import gltf as gltf_mod
+
+    kw = procedural.atrium(detail=detail)
+    path = os.path.join(
+        assets._cache_dir(None), f"bench_atrium_d{detail}.glb"
+    )
+    if not os.path.exists(path):
+        gltf_mod.write_glb_multi(
+            path,
+            kw["positions"], kw["normals"], kw["uvs"], kw["indices"],
+            kw["geo_id"], kw["base_color"], kw["emission"],
+            kw["metallic"], kw["roughness"],
+        )
+    md = assets.load_glb_cached(path)
+    w = world_mod.World()
+    w.spawn(w.add_mesh_data(md), name="atrium")
+    w.env_map = procedural.sky_equirect(256, 512)
+    scene = w.scene()
+    return scene, w._host_tris()
 
 
 def main() -> None:
@@ -95,8 +168,11 @@ def main() -> None:
     scene, tris = procedural.atrium_scene(detail=2, return_host=True)
     cam = procedural.atrium_camera(aspect=960 / 544)
     results.append(run_config("headline", scene, tris, cam, 960, 544, 4))
+    results.append(
+        run_probe_config("probe_gi", scene, tris, cam, 960, 544)
+    )
 
-    big_scene, big_tris = procedural.atrium_scene(detail=8, return_host=True)
+    big_scene, big_tris = sponza_world_scene(detail=8)
     cam720 = procedural.atrium_camera(aspect=1280 / 720)
     results.append(
         run_config("sponza720", big_scene, big_tris, cam720, 1280, 720, 2)

@@ -68,6 +68,7 @@ class Viewer:
         cam: camera_mod.Camera,
         settings: RenderSettings,
         frames_in_flight: int = 3,
+        preview=None,  # app.preview.PreviewServer (started) or None
     ):
         self.frame_fn = frame_fn
         self.cam = cam
@@ -76,6 +77,7 @@ class Viewer:
         self.film = film_mod.Film.create(settings.height, settings.width)
         self.frame_index = 0
         self.frames_in_flight = frames_in_flight
+        self.preview = preview
         self._inflight: deque = deque()
         self._timings: deque = deque(maxlen=60)
 
@@ -110,7 +112,19 @@ class Viewer:
             disp, t_submit = self._inflight.popleft()
             jax.block_until_ready(disp)
             self._timings.append(time.perf_counter() - t_submit)
+            self._maybe_publish(disp)
         return display
+
+    def _maybe_publish(self, disp):
+        """Push a completed frame to the MJPEG preview — only when a client
+        is connected AND the rate limiter allows, so unattended renders never
+        pay the device→host pull (it can cost ~1 s through the tunnel)."""
+        if self.preview is not None and self.preview.wants_frame():
+            from raytracer3_tpu.utils import runtime
+
+            self.preview.publish(
+                runtime.pull_guarded(disp, timeout=60.0, what="preview pull")
+            )
 
     def drain(self):
         disp = None
@@ -118,6 +132,8 @@ class Viewer:
             disp, t_submit = self._inflight.popleft()
             jax.block_until_ready(disp)
             self._timings.append(time.perf_counter() - t_submit)
+        if disp is not None:
+            self._maybe_publish(disp)
         return disp
 
     @property
@@ -145,7 +161,7 @@ def make_default_frame_fn(
             isect, occl = intersect_fn, occluded_fn
         radiance = wavefront.render_frame(
             scene_, cam, settings, fi, isect, occl,
-            sort_rays=backend is not None,
+            sort_rays=backend is not None and not backend.self_sorting,
         )
         film2 = film_mod.accumulate_progressive(film, radiance)
         display = postprocess.postprocess(film2.accum)
@@ -227,10 +243,25 @@ class InteractiveSession:
                     v.settings.height, v.settings.width
                 )
                 v.frame_index = 0
+        elif cmd == "preview":
+            # Start (or report) the MJPEG-over-HTTP live sink.
+            from raytracer3_tpu.app import preview as preview_mod
+
+            if v.preview is None:
+                port = int(args[0]) if args else 8787
+                v.preview = preview_mod.PreviewServer(port=port).start()
+            print(
+                json_mod.dumps({"preview_port": v.preview.port}), flush=True
+            )
         elif cmd == "save":
             disp = v.drain()
             if disp is not None:
-                image_io.write_png(args[0], np.asarray(disp))
+                from raytracer3_tpu.utils import runtime
+
+                image_io.write_png(
+                    args[0],
+                    runtime.pull_guarded(disp, what="save-display pull"),
+                )
         elif cmd == "stats":
             print(json_mod.dumps(self.status()), flush=True)
         return True
@@ -272,6 +303,10 @@ def main(argv=None):
     ap.add_argument("--glb", type=str, default=None, help="render a GLB scene")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--backend", type=str, default="auto")
+    ap.add_argument(
+        "--preview-port", type=int, default=None,
+        help="serve a live MJPEG preview on this port (0 = auto-pick)",
+    )
     args = ap.parse_args(argv)
 
     from raytracer3_tpu.app import world as world_mod
@@ -314,7 +349,13 @@ def main(argv=None):
     def rebuild(s):
         return make_default_frame_fn(scene, s, backend=backend)
 
-    viewer = Viewer(rebuild(settings), cam, settings)
+    preview = None
+    if args.preview_port is not None:
+        from raytracer3_tpu.app import preview as preview_mod
+
+        preview = preview_mod.PreviewServer(port=args.preview_port).start()
+        print(f'{{"preview_port": {preview.port}}}', flush=True)
+    viewer = Viewer(rebuild(settings), cam, settings, preview=preview)
     InteractiveSession(viewer, rebuild=rebuild).run(max_frames=args.frames)
 
 

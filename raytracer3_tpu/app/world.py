@@ -144,9 +144,15 @@ class World:
         return self._scene
 
     def _host_tris(self):
-        """Host-side (v0, v1, v2) from the pool's flattened geometry."""
+        """Host-side (v0, v1, v2) from the pool's flattened geometry —
+        REAL triangles only. The pool pads to power-of-two capacity for
+        stable jit signatures, but the degenerate padding tris must never
+        reach BVH builds: at Sponza scale they added ~75% phantom clusters
+        (BENCH round-3: 299k-tri scene benched as 524k)."""
         flat = self._host_flat
         pos, idx = flat["positions"], flat["indices"]
+        nt = flat["real_tri_count"]
+        idx = idx[:nt]
         return pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
 
     # -- instanced (TLAS/BLAS) path ------------------------------------------
@@ -252,6 +258,10 @@ class World:
             from raytracer3_tpu.ops.pallas import traverse_kernel as tk
 
             return tk.packet_backend(host_tris=self._host_tris(), **kw)
+        if kind == "treelet":
+            from raytracer3_tpu.ops import treelets
+
+            return treelets.treelet_backend(host_tris=self._host_tris(), **kw)
         if kind == "cluster":
             from raytracer3_tpu.ops import cluster_bvh
 

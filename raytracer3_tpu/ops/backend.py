@@ -33,11 +33,16 @@ class TraceBackend:
         intersect_fn: Callable,
         occluded_fn: Callable,
         meta: Any = None,
+        self_sorting: bool = False,
     ):
         self.arrays = arrays
         self.intersect_fn = intersect_fn
         self.occluded_fn = occluded_fn
         self.meta = meta  # backend-specific (e.g. PacketTables shape info)
+        # True when the backend coherence-sorts rays internally (treelets):
+        # callers should then pass sort_rays=False to the wavefront — an
+        # outer sorted_trace would duplicate the sort + gathers.
+        self.self_sorting = self_sorting
 
     # Eager convenience (tests, interactive) — closure pattern, avoid in jit.
     def intersect(self, o, d):

@@ -162,10 +162,10 @@ def _kernel(
     """
     if seg:
         # slist_ref drives the BlockSpec index_maps only (table DMA).
-        slist_ref, sgm_ref, rays_ref, nodes_ref, clusters_ref, out_ref = refs
+        slist_ref, sgm_ref, rays_ref, nodes_ref, clusters_ref, out_ref, *m = refs
         del slist_ref
         inst_ref = None
-        stats_ref = None
+        stats_ref = m[0] if stats else None
     elif two_level:
         rays_ref, nodes_ref, clusters_ref, inst_ref, out_ref, *m = refs
         stats_ref = m[0] if stats else None
@@ -186,6 +186,7 @@ def _kernel(
         # (program_id is unavailable inside the scoped discharge).
         seg_e = pl.program_id(1)
         seg_gm = sgm_ref[pl.program_id(0), seg_e]
+        seg_srow = jax.lax.rem(pl.program_id(0), 8) if stats else None
 
     def scoped(*scratch):
         it = iter(scratch)
@@ -246,6 +247,10 @@ def _kernel(
             @pl.when(seg_e == 0)
             def _():
                 init_out()
+                if stats:
+                    # Stats block covers 8 segments ([8, 128] tile rule);
+                    # zero only this segment's row.
+                    stats_ref[seg_srow] = jnp.zeros((128,), jnp.int32)
 
             gm0 = seg_gm
             go = gm0 != 0
@@ -593,7 +598,17 @@ def _kernel(
         if stats:
             init["st"] = (jnp.int32(0),) * 4
         final = jax.lax.while_loop(cond, body, init)
-        if stats:
+        if stats and seg:
+            st = final["st"]
+            # Accumulate across the segment's candidate steps; lane 4 counts
+            # steps that actually traversed (gmask ≠ 0 → sp0 = 1). VMEM
+            # rejects scalar stores — build a [128] delta vector instead.
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+            delta = jnp.zeros((128,), jnp.int32)
+            for k, v in enumerate((st[0], st[1], st[2], st[3], sp0)):
+                delta = delta + jnp.where(lanes == k, v, 0)
+            stats_ref[seg_srow] = stats_ref[seg_srow] + delta
+        elif stats:
             st = final["st"]
             stats_ref[pid, 0] = st[0]  # node pops
             stats_ref[pid, 1] = st[1]  # leaf pops
@@ -724,10 +739,15 @@ def packet_intersect_segments(
     any_hit: bool = False,
     interpret: bool = False,
     sublanes: int = 64,
+    stats: bool = False,
 ) -> jax.Array:
     """Segment-grid packet traversal over per-treelet tables (see
     ops/treelets.py driver + _kernel docstring). Returns [4, S*p] rows
-    (t, u, v, prim-id-as-float) in the caller's ray order."""
+    (t, u, v, prim-id-as-float) in the caller's ray order.
+
+    stats=True additionally returns per-segment [S, 8] int32 counters
+    (node pops, leaf pops, node activations, leaf activations, live steps)
+    accumulated over the segment's candidate steps."""
     s_count = seg_list.shape[0]
     e_count = seg_list.shape[1]
     p = sublanes * 128
@@ -743,7 +763,7 @@ def packet_intersect_segments(
     stack = max(STACK, (tt.width - 1) * tt.depth + 1 + tt.depth)
     kernel = functools.partial(
         _kernel, leaf_size=tt.leaf_size, any_hit=any_hit, t_min=t_min,
-        width=tt.width, stack=stack, seg=True,
+        width=tt.width, stack=stack, seg=True, stats=stats,
     )
     row_len = tt.node_tables.shape[2]
     lane = tt.cluster_tables.shape[2]
@@ -769,14 +789,39 @@ def packet_intersect_segments(
         out_specs=pl.BlockSpec(
             (1, 4, sublanes, 128), lambda s, e, sl, sg: (s, 0, 0, 0),
             memory_space=pltpu.VMEM,
+        )
+        if not stats
+        else (
+            pl.BlockSpec(
+                (1, 4, sublanes, 128), lambda s, e, sl, sg: (s, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # [8, 128] tile covering 8 segments (block-shape rule); each
+            # segment owns row s % 8, counters in lanes 0..4.
+            pl.BlockSpec(
+                (8, 128), lambda s, e, sl, sg: (s // 8, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
     )
+    out_shape = jax.ShapeDtypeStruct((s_count, 4, sublanes, 128), jnp.float32)
+    if stats:
+        s_pad8 = ((s_count + 7) // 8) * 8
+        out_shape = (
+            out_shape, jax.ShapeDtypeStruct((s_pad8, 128), jnp.int32)
+        )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((s_count, 4, sublanes, 128), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(seg_list, seg_gmask, rays, tt.node_tables, tt.cluster_tables)
+    if stats:
+        out, stat_rows = out
+        return (
+            out.transpose(1, 0, 2, 3).reshape(4, n),
+            stat_rows[:s_count, :8],
+        )
     return out.transpose(1, 0, 2, 3).reshape(4, n)
 
 
@@ -789,18 +834,30 @@ def packet_backend(
     scene=None, leaf_size: int = 12, interpret: bool = False,
     sublanes: int = PACKET_SUBLANES, width: int = 16,
     host_tris=None, clusters_hbm: bool | None = None,
+    treelet_sublanes: int = 512,
 ):
     """Build a TraceBackend whose tables travel as jit arguments (see
     ops/backend.py for why closures over device tables are forbidden).
 
-    clusters_hbm=None auto-selects: tables that don't fit VMEM alongside the
-    rays go to HBM with per-leaf DMA (Sponza-scale scenes)."""
+    Scenes whose cluster table doesn't fit VMEM alongside the rays route to
+    the treelet segment-grid backend (ops/treelets.py) — the production
+    large-scene path. Pass clusters_hbm=True to force the legacy per-leaf
+    HBM-DMA mode instead (kept for comparison and tests)."""
     from raytracer3_tpu.ops.backend import TraceBackend
 
     if host_tris is not None:
         v0, v1, v2 = host_tris
     else:
         v0, v1, v2 = scene.tri_vertices()
+    row_len = ((9 * leaf_size + leaf_size + 127) // 128) * 128
+    est_clusters = -(-v0.shape[0] // leaf_size) * 1.35  # SAH underfill slack
+    if clusters_hbm is None and est_clusters * row_len * 4 > CLUSTERS_VMEM_LIMIT:
+        from raytracer3_tpu.ops import treelets
+
+        return treelets.treelet_backend(
+            host_tris=(v0, v1, v2), leaf_size=leaf_size, width=width,
+            sublanes=treelet_sublanes, interpret=interpret,
+        )
     cb = cb_mod.build_cluster_bvh_host(v0, v1, v2, leaf_size, width=width)
     pt = pack_tables(cb)
     if clusters_hbm is None:

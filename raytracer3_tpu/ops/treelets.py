@@ -84,7 +84,7 @@ def build_treelets_host(
     v2: np.ndarray,
     leaf_size: int = 12,
     width: int = 16,
-    max_tris: int = 16384,
+    max_tris: int = 32768,
 ) -> TreeletTables:
     """Partition triangles into treelets and build each treelet's wide
     cluster BVH (host numpy end-to-end — device pulls through a tunneled TPU
@@ -179,6 +179,69 @@ def _morton6(pos, lo, hi):
     return m
 
 
+def _run_segments(
+    tt: TreeletTables,
+    o: jax.Array,  # [Np, 3] rays already segment-ordered + padded
+    d: jax.Array,
+    cap: jax.Array,  # [Np] per-ray t cap (0 parks)
+    want_s: jax.Array,  # [Np, K] bool — which treelets each ray wants
+    tn_s: jax.Array,  # [Np, K] entry t (inf where not wanted)
+    *,
+    t_min: float,
+    any_hit: bool,
+    interpret: bool,
+    sublanes: int,
+    e_cap=None,
+    stats: bool = False,
+):
+    """Segment metadata + kernel launch: per-segment near-first candidate
+    lists (sentinel slots repeat the last valid id so Pallas keeps the
+    resident table block), per-(segment, treelet) group bitmasks, one
+    pallas_call. Returns [4, Np] rows in the caller's (sorted) ray order."""
+    from raytracer3_tpu.ops.pallas import traverse_kernel as tk
+
+    k = tt.num_treelets
+    p = sublanes * 128
+    n_pad = o.shape[0]
+    s_count = n_pad // p
+    groups = max(1, min(32, sublanes // GROUP_ROWS))
+    rows_per_group = sublanes // groups
+
+    seg_tn = jnp.min(tn_s.reshape(s_count, p, k), axis=1)  # [S, K]
+    seg_any = jnp.any(want_s.reshape(s_count, p, k), axis=1)
+    seg_key = jnp.where(seg_any, seg_tn, jnp.inf)
+    seg_order = jnp.argsort(seg_key, axis=1).astype(jnp.int32)  # [S, K]
+    seg_valid = jnp.take_along_axis(
+        jnp.isfinite(seg_key), seg_order, axis=1
+    )
+    length = jnp.sum(seg_valid, axis=1).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        seg_order, jnp.maximum(length - 1, 0)[:, None], axis=1
+    )
+    seg_list = jnp.where(seg_valid, seg_order, last)
+
+    # Group g of segment s is active for treelet t iff any of its rows×128
+    # rays wants t.
+    gw = want_s.reshape(s_count, groups, rows_per_group * 128, k)
+    gact = jnp.any(gw, axis=2)  # [S, G, K]
+    shifts = jnp.arange(groups, dtype=jnp.int32)
+    gmask_k = jnp.sum(
+        gact.astype(jnp.int32) << shifts[None, :, None], axis=1,
+        dtype=jnp.int32,
+    )  # [S, K]
+    seg_gmask = jnp.take_along_axis(gmask_k, jnp.maximum(seg_order, 0), axis=1)
+    seg_gmask = jnp.where(seg_valid, seg_gmask, 0)
+    if e_cap is not None:
+        slot = jax.lax.broadcasted_iota(jnp.int32, seg_gmask.shape, 1)
+        seg_gmask = jnp.where(slot < e_cap, seg_gmask, 0)
+
+    return tk.packet_intersect_segments(
+        tt, seg_list, seg_gmask, o, d, cap,
+        t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
+        stats=stats,
+    )
+
+
 def treelet_intersect(
     tt: TreeletTables,
     origins: jax.Array,
@@ -187,13 +250,18 @@ def treelet_intersect(
     t_max=_BG,
     any_hit: bool = False,
     interpret: bool = False,
-    sublanes: int = 64,
+    sublanes: int = 512,
     presorted: bool = False,
+    e_cap=None,
+    stats: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
 
     t_max may be scalar or per-ray [N] (shadow distances; 0 parks a lane).
-    presorted=True skips the coherence sort (caller already ordered rays)."""
+    presorted=True skips the coherence sort (caller already ordered rays).
+    e_cap: TRACED scalar; candidate slots ≥ e_cap get gmask 0 (skipped).
+    Diagnostic only — caps < the true union size drop hits. One compiled
+    program serves every cap (the compile costs minutes on this runtime)."""
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
 
     n = origins.shape[0]
@@ -210,13 +278,15 @@ def treelet_intersect(
     cap = jnp.pad(t_cap, (0, n_pad - n))  # zero cap → padding never hits
 
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
-    tn, want = _treelet_slabs(tt.aabb, o, inv_d, t_min, cap)
-    tn_m = jnp.where(want, tn, jnp.inf)
 
     if presorted or k == 1:
         order = None
-        tn_s, want_s, packed = tn_m, want, None
+        tn, want = _treelet_slabs(tt.aabb, o, inv_d, t_min, cap)
+        tn_s = jnp.where(want, tn, jnp.inf)
+        want_s = want
     else:
+        tn, want = _treelet_slabs(tt.aabb, o, inv_d, t_min, cap)
+        tn_m = jnp.where(want, tn, jnp.inf)
         near = jnp.min(tn_m, axis=1)
         tid0 = jnp.argmin(tn_m, axis=1).astype(jnp.int32)
         tid0 = jnp.where(jnp.isfinite(near), tid0, k)
@@ -236,42 +306,21 @@ def treelet_intersect(
         order = jnp.argsort(key)
         packed = jnp.concatenate([o, d, cap[:, None]], axis=1)[order]
         o, d, cap = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
-        tn_s = tn_m[order]
-        want_s = want[order]
+        # Segment metadata needs per-SORTED-ray slabs: RECOMPUTE densely on
+        # the sorted rays (≈1 ms of VPU) instead of gathering the [N, K]
+        # tn/want matrices through the permutation — XLA's per-lane gathers
+        # made those two pulls the bulk of a measured 46 ms driver overhead.
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        tn2, want_s = _treelet_slabs(tt.aabb, o, inv_d, t_min, cap)
+        tn_s = jnp.where(want_s, tn2, jnp.inf)
 
-    # Per-segment candidate list, sorted near-first; sentinel -1 beyond.
-    seg_tn = jnp.min(tn_s.reshape(s_count, p, k), axis=1)  # [S, K]
-    seg_any = jnp.any(want_s.reshape(s_count, p, k), axis=1)
-    seg_key = jnp.where(seg_any, seg_tn, jnp.inf)
-    seg_order = jnp.argsort(seg_key, axis=1).astype(jnp.int32)  # [S, K]
-    seg_valid = jnp.take_along_axis(
-        jnp.isfinite(seg_key), seg_order, axis=1
+    out = _run_segments(
+        tt, o, d, cap, want_s, tn_s,
+        t_min=t_min, any_hit=any_hit, interpret=interpret,
+        sublanes=sublanes, e_cap=e_cap, stats=stats,
     )
-    # Sentinel slots repeat the last valid id: the kernel skips them (gmask
-    # 0) and Pallas keeps the resident table block instead of re-DMAing.
-    length = jnp.sum(seg_valid, axis=1).astype(jnp.int32)
-    last = jnp.take_along_axis(
-        seg_order, jnp.maximum(length - 1, 0)[:, None], axis=1
-    )
-    seg_list = jnp.where(seg_valid, seg_order, last)
-
-    # Per-(segment, treelet) sublane-group activation bitmask, then selected
-    # into list order: group g of segment s is active for treelet t iff any
-    # of its rows×128 rays wants t.
-    gw = want_s.reshape(s_count, groups, rows_per_group * 128, k)
-    gact = jnp.any(gw, axis=2)  # [S, G, K]
-    shifts = jnp.arange(groups, dtype=jnp.int32)
-    gmask_k = jnp.sum(
-        gact.astype(jnp.int32) << shifts[None, :, None], axis=1,
-        dtype=jnp.int32,
-    )  # [S, K]
-    seg_gmask = jnp.take_along_axis(gmask_k, jnp.maximum(seg_order, 0), axis=1)
-    seg_gmask = jnp.where(seg_valid, seg_gmask, 0)
-
-    out = tk.packet_intersect_segments(
-        tt, seg_list, seg_gmask, o, d, cap,
-        t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
-    )  # [4, n_pad] (t, u, v, prim-as-float) in (sorted) ray order
+    if stats:
+        out, stat_rows = out
 
     if order is not None:
         inv = jnp.argsort(order)
@@ -279,10 +328,146 @@ def treelet_intersect(
     out = out[:, :n]
     prim_id = out[3].astype(jnp.int32)
     found = prim_id >= 0
-    return intersect.Hit(
+    hit = intersect.Hit(
         t=jnp.where(found, out[0], _BG),
         uv=jnp.stack([out[1], out[2]], axis=-1),
         prim_id=prim_id,
+        hit=found,
+    )
+    if stats:
+        return hit, stat_rows
+    return hit
+
+
+def _bits_to_words(bits):
+    """[N, W*32] bool → [N, W] int32 packed."""
+    n, kw = bits.shape
+    w = kw // 32
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    return jnp.sum(
+        bits.reshape(n, w, 32).astype(jnp.int32) << shifts[None, None, :],
+        axis=-1,
+        dtype=jnp.int32,
+    )
+
+
+def _words_to_bits(words, k):
+    n, w = words.shape
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    bits = (words[:, :, None] >> shifts[None, None, :]) & 1
+    return bits.reshape(n, w * 32)[:, :k].astype(jnp.bool_)
+
+
+def treelet_intersect_rounds(
+    tt: TreeletTables,
+    origins: jax.Array,
+    directions: jax.Array,
+    t_min: float = 1e-4,
+    t_max=_BG,
+    any_hit: bool = False,
+    interpret: bool = False,
+    sublanes: int = 64,
+    max_rounds: int | None = None,
+) -> intersect.Hit:
+    """Per-ray nearest-first ROUNDS variant: each round every live ray picks
+    its nearest untried candidate treelet that still beats its best hit, rays
+    re-sort by (chosen treelet, entry Morton) into treelet-pure segments, and
+    one segment pass traces them. Optimal per-ray ordering/culling — the
+    single-pass grid instead visits per-SEGMENT candidate unions, wasting
+    active-group lanes on incoherent rays (measured 1.9 vs 9.3 Mray/s
+    coherent, docs/ROADMAP.md) — traded against one argsort + pack gather
+    per round."""
+    n = origins.shape[0]
+    k = tt.num_treelets
+    p = sublanes * 128
+    n_pad = ((n + p - 1) // p) * p
+    kw = ((k + 31) // 32) * 32
+
+    t_cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    o = jnp.pad(origins, ((0, n_pad - n), (0, 0)), constant_values=1e30)
+    d = jnp.pad(directions, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    cap0 = jnp.pad(t_cap, (0, n_pad - n))
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    pad_cols = jnp.zeros((n_pad, kw - k), jnp.bool_)
+
+    _, want0 = _treelet_slabs(tt.aabb, o, inv_d, t_min, cap0)
+    lo = tt.aabb[:, 0:3].min(axis=0)
+    hi = tt.aabb[:, 3:6].max(axis=0)
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (n_pad, k), 1)
+
+    state = dict(
+        pending=_bits_to_words(jnp.concatenate([want0, pad_cols], axis=1)),
+        best_t=cap0,
+        best_u=jnp.zeros((n_pad,), jnp.float32),
+        best_v=jnp.zeros((n_pad,), jnp.float32),
+        best_id=jnp.full((n_pad,), -1, jnp.int32),
+        rounds=jnp.int32(0),
+        go=jnp.any(want0),
+    )
+
+    def cond(st):
+        return st["go"] & (st["rounds"] < (max_rounds or k))
+
+    def body(st):
+        pend = _words_to_bits(st["pending"], k)
+        capr = st["best_t"]
+        if any_hit:
+            capr = jnp.where(st["best_id"] >= 0, 0.0, capr)  # blocked → done
+        tn, shit = _treelet_slabs(tt.aabb, o, inv_d, t_min, capr)
+        cand = pend & shit
+        tn_m = jnp.where(cand, tn, jnp.inf)
+        near = jnp.min(tn_m, axis=1)
+        has = jnp.isfinite(near)
+        tid = jnp.where(
+            has, jnp.argmin(tn_m, axis=1).astype(jnp.int32), k
+        )
+        # A candidate pruned by the shrinking cap stays pruned.
+        pending = _bits_to_words(
+            jnp.concatenate([cand & (kcols != tid[:, None]), pad_cols], 1)
+        )
+
+        entry = jnp.where(
+            has[:, None], o + jnp.maximum(near, 0.0)[:, None] * d, 1e30
+        )
+        key = (tid << 18) | _morton6(entry, lo, hi)
+        order = jnp.argsort(key)
+        packed = jnp.concatenate(
+            [o, d, capr[:, None], tid.astype(jnp.float32)[:, None]], axis=1
+        )[order]
+        o_s, d_s, cap_s = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+        tid_s = packed[:, 7].astype(jnp.int32)
+        want_s = tid_s[:, None] == kcols  # treelet-PURE one-hot
+        # Entry distances recomputed densely on sorted rays (gathering the
+        # [N, K] matrix through the permutation costs 10× more).
+        inv_s = 1.0 / jnp.where(jnp.abs(d_s) < 1e-12, 1e-12, d_s)
+        tn2, _ = _treelet_slabs(tt.aabb, o_s, inv_s, t_min, cap_s)
+        tn_s = jnp.where(want_s, tn2, jnp.inf)
+
+        out = _run_segments(
+            tt, o_s, d_s, cap_s, want_s, tn_s,
+            t_min=t_min, any_hit=any_hit, interpret=interpret,
+            sublanes=sublanes,
+        )  # [4, Np] in sorted order
+        out = out[:, jnp.argsort(order)]
+
+        new_id = out[3].astype(jnp.int32)
+        improved = has & (new_id >= 0)
+        return dict(
+            pending=pending,
+            best_t=jnp.where(improved, out[0], st["best_t"]),
+            best_u=jnp.where(improved, out[1], st["best_u"]),
+            best_v=jnp.where(improved, out[2], st["best_v"]),
+            best_id=jnp.where(improved, new_id, st["best_id"]),
+            rounds=st["rounds"] + 1,
+            go=jnp.any(has),
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    found = st["best_id"][:n] >= 0
+    return intersect.Hit(
+        t=jnp.where(found, st["best_t"][:n], _BG),
+        uv=jnp.stack([st["best_u"][:n], st["best_v"][:n]], axis=-1),
+        prim_id=st["best_id"][:n],
         hit=found,
     )
 
@@ -344,8 +529,8 @@ def treelet_backend(
     scene=None,
     leaf_size: int = 12,
     width: int = 16,
-    max_tris: int = 16384,
-    sublanes: int = 64,
+    max_tris: int = 32768,
+    sublanes: int = 512,
     interpret: bool = False,
     host_tris=None,
 ):
@@ -385,4 +570,4 @@ def treelet_backend(
             interpret=interpret, sublanes=sublanes,
         ).hit
 
-    return TraceBackend(arrays, isect_fn, occl_fn, meta=tt)
+    return TraceBackend(arrays, isect_fn, occl_fn, meta=tt, self_sorting=True)

@@ -162,3 +162,123 @@ def progressive_step_tiled(
         return film_mod.Film(accum=accum, frame_index=f.frame_index)
 
     return step, init_film
+
+
+def render_wavefront_tiled(
+    scene: scene_types.Scene,
+    cam: camera_mod.Camera,
+    settings: RenderSettings,
+    frame_index,
+    backend_arrays,
+    intersect_fn,
+    occluded_fn=None,
+    mesh: Mesh | None = None,
+    axis: str = "tiles",
+    sort_rays: bool = False,
+) -> jax.Array:
+    """The PRODUCTION wavefront renderer sharded row-wise over the mesh:
+    each chip owns an image-row block, builds its ray queue from global pixel
+    ids (per-pixel RNG matches single-chip), and traces through the real
+    traversal backend — packet kernel, treelets, or TLAS — whose tables ride
+    along REPLICATED (in_specs P()), the bindless-heap analog. No cross-chip
+    traffic during tracing.
+
+    intersect_fn/occluded_fn follow the TraceBackend convention:
+    fn(arrays, o, d[, t_max]) with `arrays` the backend's table pytree.
+    """
+    from raytracer3_tpu.render import wavefront
+
+    mesh = mesh or make_render_mesh(axis=axis)
+    w, h = settings.width, settings.height
+    n_dev = mesh.shape[axis]
+    assert h % n_dev == 0, f"height {h} must divide across {n_dev} devices"
+
+    pix = camera_mod.pixel_grid(w, h).reshape(h, w, 2)
+
+    def shard_fn(pix_rows, arrays, scene_):
+        hs = pix_rows.shape[0]
+        p = pix_rows.reshape(-1, 2)
+        n = p.shape[0]
+        isect = lambda o, d: intersect_fn(arrays, o, d)
+        occl = (
+            None
+            if occluded_fn is None
+            else (lambda o, d, t: occluded_fn(arrays, o, d, t))
+        )
+        sampler = rng.Sampler.from_pixels(p, frame_index)
+        uj, sampler = sampler.next2()
+        o, d = camera_mod.primary_rays(cam, w, h, jitter=uj, pixel_xy=p)
+        hit0 = isect(o, d)
+        q = wavefront.RayQueue(
+            origin=o,
+            direction=d,
+            throughput=jnp.ones((n, 3), jnp.float32),
+            radiance=jnp.zeros((n, 3), jnp.float32),
+            pixel_id=(p[:, 1] * w + p[:, 0]).astype(jnp.int32),
+            alive=hit0.hit,
+            prev_pdf=jnp.full((n,), 1e8, jnp.float32),
+            depth=hit0.t,
+            prim_id=hit0.prim_id,
+            uv=hit0.uv,
+            inst=hit0.inst,
+        )
+        q, _traced = wavefront.trace_wavefront(
+            scene_, isect, q, sampler, settings, occl, sort_rays
+        )
+        radiance = q.radiance
+        if settings.radiance_clamp > 0.0:
+            radiance = jnp.minimum(radiance, settings.radiance_clamp)
+        env = pathtracer._sample_env(scene_, d)
+        radiance = radiance + jnp.where(~hit0.hit[:, None], env, 0.0)
+        return radiance.reshape(hs, w, 3)
+
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return shard(pix, backend_arrays, scene)
+
+
+def probe_gi_sample_parallel(
+    scene: scene_types.Scene,
+    settings: RenderSettings,
+    cam: camera_mod.Camera,
+    backend,
+    n_frames: int = 2,
+    mesh: Mesh | None = None,
+    axis: str = "tiles",
+) -> jax.Array:
+    """Probe-GI pipeline under sample parallelism: every chip runs the full
+    probe pipeline with a decorrelated seed stream; the display estimates
+    psum-average over the mesh. (The probe passes have cross-probe reads —
+    interpolation touches 4 neighbors — so row-sharding would need halos;
+    sample parallelism shards the Monte-Carlo axis instead.)"""
+    from raytracer3_tpu.render import pipelines
+
+    mesh = mesh or make_render_mesh(axis=axis)
+    n_dev = mesh.shape[axis]
+
+    def shard_fn(_token):
+        shard_id = jax.lax.axis_index(axis).astype(jnp.uint32)
+        step, init_state = pipelines.probe_gi_pipeline(
+            scene, settings, backend=backend
+        )
+        state = init_state()
+        disp = None
+        for i in range(n_frames):
+            fi = jnp.uint32(i) * jnp.uint32(n_dev) + shard_id
+            disp, state = step(state, cam=cam, frame_index=fi)
+        return jax.lax.psum(disp, axis) / n_dev
+
+    token = jnp.zeros((n_dev, 1), jnp.float32)
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return shard(token)

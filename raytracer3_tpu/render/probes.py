@@ -256,6 +256,13 @@ def interpolate_probes(
     ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     p0x = jnp.clip(xs // sp, 0, px - 1)
     p0y = jnp.clip(ys // sp, 0, py - 1)
+    # Bilinear position inside the probe cell — the reference blends the 4
+    # neighbor probes bilinearly AND edge-aware (interpolate_probes.slang:
+    # 11-110); edge-aware-only weighting lets a probe up to a full cell away
+    # dominate whenever its depth matches slightly better, which reads as
+    # light bleeding across the probe grid (round-2 64×64 golden).
+    fx = (xs - p0x * sp).astype(jnp.float32) / sp
+    fy = (ys - p0y * sp).astype(jnp.float32) / sp
 
     light = jnp.zeros((h, w, 3), jnp.float32)
     wsum = jnp.zeros((h, w), jnp.float32)
@@ -272,6 +279,7 @@ def interpolate_probes(
             probe_depth = gbuf_depth[a_y, a_x]
             probe_normal = gbuf_normal[a_y, a_x]
             valid = probe_depth < mathx.BACKGROUND_DEPTH
+            w_bil = (fx if ox else (1.0 - fx)) * (fy if oy else (1.0 - fy))
             # Edge-aware weight (interpolate_probes.slang:65-70):
             wgt = jnp.clip(
                 1.0 - jnp.abs(probe_depth - pix_depth) / jnp.maximum(pix_depth, 1e-6),
@@ -280,7 +288,7 @@ def interpolate_probes(
             wgt = wgt * jnp.maximum(
                 jnp.sum(gbuf_normal * probe_normal, -1), 0.0
             )
-            wgt = jnp.where(valid, wgt**8, 0.0)
+            wgt = jnp.where(valid, (w_bil + 1e-3) * wgt**8, 0.0)
 
             coeffs = state.sh_coeffs[pyc, pxc]  # [H, W, 3, 9]
             irr = sh.sh3_unproject_cos_lobe(coeffs, gbuf_normal)  # [H, W, 3]

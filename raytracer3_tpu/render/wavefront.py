@@ -159,7 +159,24 @@ def trace_wavefront(
         q, sampler = carry
         n_shadow = jnp.sum(q.alive.astype(jnp.int32)) if use_nee else jnp.int32(0)
 
-        surface = scene_types.hit_surface_info(scene, q.prim_id, q.uv, q.inst)
+        fp_log2 = None
+        if scene.tex_atlas is not None:
+            # Ray-cone texture LOD: footprint ≈ t·cone/cosθ, cone widened
+            # after each diffuse bounce (distance-based approximation of ray
+            # differentials; density term added per material in the sampler).
+            cone = settings.tex_cone_angle * (1.0 + 4.0 * b.astype(jnp.float32))
+            cos_i = jnp.abs(
+                mathx.dot(
+                    scene_types.geometric_normals(scene, q.prim_id),
+                    -q.direction, keepdims=False,
+                )
+            )
+            fp_log2 = jnp.log2(
+                jnp.maximum(q.depth * cone / jnp.maximum(cos_i, 0.05), 1e-12)
+            )
+        surface = scene_types.hit_surface_info(
+            scene, q.prim_id, q.uv, q.inst, footprint_log2=fp_log2
+        )
         nrm = pathtracer._face_forward(surface.normal, -q.direction)
 
         # Emissive pickup with MIS against NEE (first bounce unweighted —

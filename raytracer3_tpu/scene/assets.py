@@ -65,6 +65,10 @@ def load_glb_cached(
             roughness=z["roughness"],
             base_color_texture=z["base_color_texture"],
             textures=z["textures"] if "textures" in z.files else None,
+            tex_images=(
+                [z[k] for k in sorted(f for f in z.files if f.startswith("tex_img_"))]
+                or None
+            ),
         )
 
     md = gltf_mod.load_glb(raw, texture_size=texture_size)
@@ -82,6 +86,10 @@ def load_glb_cached(
     )
     if md.textures is not None:
         arrays["textures"] = md.textures
+    if md.tex_images is not None:
+        # Variable-size native images: one entry each (npz keys sort 0-9).
+        for i, im in enumerate(md.tex_images):
+            arrays[f"tex_img_{i:03d}"] = im
     tmp = cache_path + ".tmp.npz"  # savez appends .npz unless present
     np.savez_compressed(tmp, **arrays)
     os.replace(tmp, cache_path)

@@ -57,6 +57,9 @@ class MeshData:
     roughness: np.ndarray  # [G] f32
     base_color_texture: np.ndarray  # [G] i32 (-1 = none)
     textures: Optional[np.ndarray] = None  # [K, TH, TW, 3] f32 linear
+    # Native-resolution decoded images (variable sizes) — feed the mip
+    # atlas (scene/textures.py) in make_scene.
+    tex_images: Optional[list] = None
 
 
 def _parse_glb(data: bytes):
@@ -136,9 +139,11 @@ def _node_matrix(node: dict) -> np.ndarray:
     return m
 
 
-def _decode_image(gltf: dict, bin_chunk: bytes, img_idx: int, size: int) -> np.ndarray:
-    """Decode a glTF image to linear RGB [size, size, 3] f32 (resampled to
-    the common texture-array resolution)."""
+def _decode_image(
+    gltf: dict, bin_chunk: bytes, img_idx: int, size: int | None
+) -> np.ndarray:
+    """Decode a glTF image to linear RGB f32 — native resolution when
+    ``size`` is None, else resampled to [size, size] (legacy array mode)."""
     from PIL import Image
 
     img = gltf["images"][img_idx]
@@ -148,7 +153,9 @@ def _decode_image(gltf: dict, bin_chunk: bytes, img_idx: int, size: int) -> np.n
         raw = bin_chunk[base : base + bv["byteLength"]]
     else:
         raise ValueError("external image URIs not supported in GLB ingest")
-    pim = Image.open(io.BytesIO(raw)).convert("RGB").resize((size, size))
+    pim = Image.open(io.BytesIO(raw)).convert("RGB")
+    if size is not None:
+        pim = pim.resize((size, size))
     srgb = np.asarray(pim, np.float32) / 255.0
     return srgb**2.2  # sRGB → linear (approximation)
 
@@ -189,7 +196,13 @@ def load_glb(path_or_bytes, texture_size: int = 256) -> MeshData:
                 bc_tex[i] = tex_image_ids.index(img_idx)
 
     textures = None
+    tex_images = None
     if tex_image_ids:
+        # Native-resolution images feed the mip atlas (scene/textures.py);
+        # the legacy common-resolution stack is kept for cache compat.
+        tex_images = [
+            _decode_image(gltf, bin_chunk, i, None) for i in tex_image_ids
+        ]
         textures = np.stack(
             [_decode_image(gltf, bin_chunk, i, texture_size) for i in tex_image_ids]
         )
@@ -283,6 +296,7 @@ def load_glb(path_or_bytes, texture_size: int = 256) -> MeshData:
         roughness=roughness,
         base_color_texture=bc_tex,
         textures=textures,
+        tex_images=tex_images,
     )
 
 
@@ -373,6 +387,123 @@ def write_glb(
         f.write(binblob)
 
 
+def write_glb_multi(
+    path: str | None,
+    positions: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray,
+    indices: np.ndarray,
+    geo_id: np.ndarray,
+    base_color: np.ndarray,  # [G, 3|4]
+    emission: np.ndarray,  # [G, 3]
+    metallic: np.ndarray,  # [G]
+    roughness: np.ndarray,  # [G]
+) -> bytes:
+    """Write a multi-material GLB: one mesh, one primitive per material
+    (triangles grouped by geo_id). Returns the GLB bytes; also writes
+    ``path`` when given. Round-trips through load_glb — lets benchmark
+    scenes flow through the real ingest path (assets cache → World)."""
+    bufs = []
+
+    def add(arr):
+        off = sum(len(b) for b in bufs)
+        raw = np.ascontiguousarray(arr).tobytes()
+        bufs.append(raw + b"\0" * ((-len(raw)) % 4))
+        return off, len(raw)
+
+    pos = np.asarray(positions, np.float32)
+    nrm = np.asarray(normals, np.float32)
+    uv = np.asarray(uvs, np.float32)
+    accessors = []
+    views = []
+
+    def add_accessor(arr, ctype, atype, minmax=False):
+        off, ln = add(arr)
+        views.append({"buffer": 0, "byteOffset": off, "byteLength": ln})
+        acc = {
+            "bufferView": len(views) - 1,
+            "componentType": ctype,
+            "count": len(arr),
+            "type": atype,
+        }
+        if minmax:
+            acc["min"] = arr.min(0).tolist()
+            acc["max"] = arr.max(0).tolist()
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    a_pos = add_accessor(pos, 5126, "VEC3", minmax=True)
+    a_nrm = add_accessor(nrm, 5126, "VEC3")
+    a_uv = add_accessor(uv, 5126, "VEC2")
+
+    g = len(base_color)
+    prims = []
+    materials = []
+    geo_id = np.asarray(geo_id)
+    for gi in range(g):
+        tris = np.asarray(indices)[geo_id == gi].astype(np.uint32)
+        if tris.size == 0:
+            tris = np.zeros((0, 3), np.uint32)
+        a_idx = add_accessor(tris.reshape(-1), 5125, "SCALAR")
+        prims.append(
+            {
+                "attributes": {
+                    "POSITION": a_pos, "NORMAL": a_nrm, "TEXCOORD_0": a_uv
+                },
+                "indices": a_idx,
+                "material": gi,
+            }
+        )
+        bc = list(map(float, np.asarray(base_color[gi]).reshape(-1)[:4]))
+        bc += [1.0] * (4 - len(bc))
+        em = np.asarray(emission[gi], np.float64).reshape(-1)[:3]
+        strength = float(max(em.max(), 1.0))
+        materials.append(
+            {
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": bc,
+                    "metallicFactor": float(metallic[gi]),
+                    "roughnessFactor": float(roughness[gi]),
+                },
+                # emissiveFactor must be ≤ 1; overshoot via the strength ext.
+                "emissiveFactor": (em / strength).tolist(),
+                "extensions": {
+                    "KHR_materials_emissive_strength": {
+                        "emissiveStrength": strength
+                    }
+                },
+            }
+        )
+
+    binblob = b"".join(bufs)
+    gltf = {
+        "asset": {"version": "2.0", "generator": "raytracer3_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": prims}],
+        "materials": materials,
+        "extensionsUsed": ["KHR_materials_emissive_strength"],
+        "buffers": [{"byteLength": len(binblob)}],
+        "bufferViews": views,
+        "accessors": accessors,
+    }
+    js = json.dumps(gltf).encode()
+    js += b" " * ((-len(js)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(binblob)
+    blob = (
+        struct.pack("<III", _MAGIC, 2, total)
+        + struct.pack("<II", len(js), _CHUNK_JSON)
+        + js
+        + struct.pack("<II", len(binblob), _CHUNK_BIN)
+        + binblob
+    )
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
 def mesh_to_scene(md: MeshData, env_map: np.ndarray | None = None):
     """MeshData → device Scene."""
     from raytracer3_tpu.scene import types as scene_types
@@ -390,4 +521,5 @@ def mesh_to_scene(md: MeshData, env_map: np.ndarray | None = None):
         base_color_texture=md.base_color_texture,
         textures=md.textures,
         env_map=env_map,
+        tex_images=md.tex_images,
     )

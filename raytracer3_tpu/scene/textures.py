@@ -1,0 +1,195 @@
+"""Native-resolution textures with mip chains: a packed 2D atlas.
+
+The reference binds native-resolution images into the bindless texture table
+with 4 immutable samplers (nearest/linear × mag/min) and `sampleLevel` in
+shaders (src/renderer/bindless/mod.rs:340-360, shaders/include/
+bindless.slang:118-137). The previous TPU design forced every texture to a
+common resolution with always-bilinear level-0 sampling — resampling distorts
+assets and unmipped lookups alias under minification (VERDICT round 2).
+
+TPU-native shape of the fix: ONE flat [H, W, 3] atlas holding every texture's
+full mip pyramid (mips stacked vertically under the base level, shelf-packed
+by column), plus a [K, 16] meta-row table — so per-lane sampling is a small
+row gather (the established one-gather discipline) followed by coordinate
+math and 4 (bilinear) or 8 (trilinear) texel gathers. LOD comes from the
+ray-cone approximation: footprint ≈ t · cone_angle / cos θ, scaled by the
+material's texels-per-world-unit density (precomputed at ingest).
+
+Layout per texture k (meta row, 16 f32 lanes):
+  [0] x0        atlas x of every mip level (widths halve in place)
+  [1] y0        atlas y of mip 0
+  [2] w, [3] h  base resolution
+  [4] n_mips
+  [5] nearest   1.0 → point sampling (sampler mode)
+  [6..15]       y offset of mips 1..10 (mip m>0 at y_off[m], x0)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_MIPS = 11  # 6..15 meta lanes hold mips 1..10; mip 0 at (x0, y0)
+
+
+def _mip_chain(img: np.ndarray) -> list[np.ndarray]:
+    """Box-filter pyramid down to 1×1 (non-pow2 handled by edge-clamping
+    the odd row/column into the last bin)."""
+    mips = [img.astype(np.float32)]
+    while (mips[-1].shape[0] > 1 or mips[-1].shape[1] > 1) and len(mips) < MAX_MIPS:
+        cur = mips[-1]
+        h, w = cur.shape[0], cur.shape[1]
+        nh, nw = max(1, h // 2), max(1, w // 2)
+        ev = cur[: nh * 2, : nw * 2]
+        down = (
+            ev[0::2, 0::2] + ev[1::2, 0::2] + ev[0::2, 1::2] + ev[1::2, 1::2]
+        ) * 0.25
+        mips.append(down)
+    return mips
+
+
+def build_texture_atlas(
+    images: Sequence[np.ndarray], nearest: Sequence[bool] | None = None
+):
+    """Pack native-resolution images + mip chains into one atlas.
+
+    Returns (atlas [H, W, 3] f32, meta [K, 16] f32). Columns are shelf-packed
+    left→right; each texture's mips stack vertically below its base."""
+    k = len(images)
+    meta = np.zeros((k, 16), np.float32)
+    chains = []
+    col_w = []
+    col_h = []
+    for img in images:
+        a = np.asarray(img, np.float32)
+        if a.ndim == 2:
+            a = a[:, :, None].repeat(3, axis=2)
+        a = a[:, :, :3]
+        ch = _mip_chain(a)
+        chains.append(ch)
+        col_w.append(ch[0].shape[1])
+        col_h.append(sum(m.shape[0] for m in ch))
+    aw = int(sum(col_w)) if k else 1
+    ah = int(max(col_h)) if k else 1
+    atlas = np.zeros((ah, aw, 3), np.float32)
+    x = 0
+    for i, ch in enumerate(chains):
+        y = 0
+        for m, mip in enumerate(ch):
+            atlas[y : y + mip.shape[0], x : x + mip.shape[1]] = mip
+            if m == 0:
+                meta[i, 0] = x
+                meta[i, 1] = y
+            elif m <= 10:
+                meta[i, 5 + m] = y
+            y += mip.shape[0]
+        meta[i, 2] = ch[0].shape[1]
+        meta[i, 3] = ch[0].shape[0]
+        meta[i, 4] = len(ch)
+        meta[i, 5] = 1.0 if (nearest is not None and nearest[i]) else 0.0
+        x += ch[0].shape[1]
+    return atlas, meta
+
+
+def _level_params(meta_rows: jax.Array, level: jax.Array):
+    """Per-lane (x0, y0, w, h) of `level` for gathered meta rows [N, 16]."""
+    w0 = meta_rows[:, 2]
+    h0 = meta_rows[:, 3]
+    x0 = meta_rows[:, 0]
+    scale = jnp.exp2(-level.astype(jnp.float32))
+    w = jnp.maximum(jnp.floor(w0 * scale), 1.0)
+    h = jnp.maximum(jnp.floor(h0 * scale), 1.0)
+    # y0: mip0 from lane 1, mips 1..10 from lanes 6..15 (one-hot select —
+    # the level is per-lane, the table is already gathered).
+    lv = jnp.clip(level, 0, MAX_MIPS - 1)
+    ys = jnp.concatenate(
+        [meta_rows[:, 1:2], meta_rows[:, 6:16]], axis=1
+    )  # [N, 11]
+    y0 = jnp.take_along_axis(ys, lv[:, None], axis=1)[:, 0]
+    return x0, y0, w, h
+
+
+def _bilinear_level(atlas, meta_rows, uv, level, nearest):
+    x0, y0, w, h = _level_params(meta_rows, level)
+    u = uv[:, 0] * w - 0.5
+    v = uv[:, 1] * h - 0.5
+    ui = jnp.floor(u)
+    vi = jnp.floor(v)
+    fu = jnp.where(nearest, 0.0, (u - ui))[:, None]
+    fv = jnp.where(nearest, 0.0, (v - vi))[:, None]
+    u_n = jnp.where(nearest, jnp.round(uv[:, 0] * w - 0.5), ui)
+    v_n = jnp.where(nearest, jnp.round(uv[:, 1] * h - 0.5), vi)
+    xi0 = jnp.mod(u_n, w).astype(jnp.int32) + x0.astype(jnp.int32)
+    yi0 = jnp.mod(v_n, h).astype(jnp.int32) + y0.astype(jnp.int32)
+    xi1 = jnp.mod(u_n + 1, w).astype(jnp.int32) + x0.astype(jnp.int32)
+    yi1 = jnp.mod(v_n + 1, h).astype(jnp.int32) + y0.astype(jnp.int32)
+    c00 = atlas[yi0, xi0]
+    c10 = atlas[yi0, xi1]
+    c01 = atlas[yi1, xi0]
+    c11 = atlas[yi1, xi1]
+    return (
+        c00 * (1 - fu) * (1 - fv)
+        + c10 * fu * (1 - fv)
+        + c01 * (1 - fu) * fv
+        + c11 * fu * fv
+    )
+
+
+def sample_atlas(
+    atlas: jax.Array,
+    meta: jax.Array,
+    tex_id: jax.Array,
+    uv: jax.Array,
+    lod: jax.Array | None = None,
+    trilinear: bool = True,
+) -> jax.Array:
+    """Sample texture `tex_id` [N] at `uv` [N, 2] with mip level `lod` [N]
+    (float; None → level 0). tex_id < 0 → white (hit_logic.slang:30-32)."""
+    safe = jnp.maximum(tex_id, 0)
+    rows = meta[safe]  # [N, 16] one row gather
+    nearest = rows[:, 5] > 0.5
+    n_mips = rows[:, 4]
+    if lod is None:
+        lod = jnp.zeros(uv.shape[0], jnp.float32)
+    lod = jnp.clip(lod, 0.0, n_mips - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    c0 = _bilinear_level(atlas, rows, uv, l0, nearest)
+    if trilinear:
+        l1 = jnp.minimum(
+            l0 + 1, jnp.maximum(n_mips.astype(jnp.int32) - 1, 0)
+        )
+        c1 = _bilinear_level(atlas, rows, uv, l1, nearest)
+        f = (lod - l0.astype(jnp.float32))[:, None]
+        c0 = c0 * (1 - f) + c1 * f
+    return jnp.where(tex_id[:, None] < 0, 1.0, c0)
+
+
+def ray_cone_lod(
+    t: jax.Array,
+    cos_theta: jax.Array,
+    cone_angle: float,
+    log2_texel_density: jax.Array,
+) -> jax.Array:
+    """Ray-cone mip level: footprint ≈ t · cone_angle / cos θ world units →
+    lod = log2(footprint · texels/world). `cone_angle` is the pixel angular
+    size (≈ vertical_fov / image_height); `log2_texel_density` per material
+    (precomputed: mean log2 texel-per-world-unit over its triangles)."""
+    fp = jnp.maximum(t, 1e-6) * cone_angle / jnp.maximum(cos_theta, 0.05)
+    return jnp.log2(jnp.maximum(fp, 1e-12)) + log2_texel_density
+
+
+def texel_density_log2(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+    uv0: np.ndarray, uv1: np.ndarray, uv2: np.ndarray,
+    tex_w: float, tex_h: float,
+) -> np.ndarray:
+    """Per-triangle log2 texel density (area-weighted; host, at ingest)."""
+    wa = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    e1 = (uv1 - uv0) * np.array([tex_w, tex_h])
+    e2 = (uv2 - uv0) * np.array([tex_w, tex_h])
+    ta = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+    ratio = np.sqrt(np.maximum(ta, 1e-12) / np.maximum(wa, 1e-12))
+    return np.log2(np.maximum(ratio, 1e-12)).astype(np.float32)

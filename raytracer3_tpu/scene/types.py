@@ -91,6 +91,12 @@ class Scene(NamedTuple):
     # the same gather as the radiance.
     env_sample_table: Optional[jax.Array] = None  # [He*We, 16] f32
     env_rgbp: Optional[jax.Array] = None  # [He, We, 4] f32
+    # Native-resolution mip-atlas textures (scene/textures.py): preferred
+    # over the fixed-resolution `textures` array when present. The bindless
+    # sampled-image table + immutable samplers analog
+    # (src/renderer/bindless/mod.rs:340-360).
+    tex_atlas: Optional[jax.Array] = None  # [Ha, Wa, 3] f32
+    tex_meta: Optional[jax.Array] = None  # [K, 16] f32
 
     @property
     def num_triangles(self) -> int:
@@ -186,13 +192,17 @@ def _onehot_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
 
 
 def hit_surface_info(
-    scene: Scene, prim_id: jax.Array, uv: jax.Array, inst=None
+    scene: Scene, prim_id: jax.Array, uv: jax.Array, inst=None,
+    footprint_log2=None,
 ) -> SurfaceInfo:
     """Batched ``hit_info`` (hit_logic.slang:5-39): fetch triangle, interpolate
     attributes with barycentrics, apply material + base-color texture.
 
     prim_id: [N] triangle ids (clamped gather; callers mask misses).
     uv: [N, 2] barycentric (u, v).
+    footprint_log2: [N] log2 of the ray-cone footprint in world units
+    (textures.ray_cone_lod without the density term); the per-material
+    texel density (mat_table lane 9) completes the mip level. None → mip 0.
 
     Fast path (shade_table present): ONE [N, 16] row gather + a one-hot
     material matmul replace ~10 separate per-lane gathers.
@@ -222,7 +232,17 @@ def hit_surface_info(
         g = row[:, 15].astype(jnp.int32)
         mat = _onehot_rows(scene.mat_table, g)  # [N, 12]
         color = mat[:, 0:3]
-        if scene.textures is not None:
+        if scene.tex_atlas is not None:
+            from raytracer3_tpu.scene import textures as tex_mod
+
+            tex_id = mat[:, 8].astype(jnp.int32)
+            lod = None
+            if footprint_log2 is not None:
+                lod = footprint_log2 + mat[:, 9]  # + log2 texel density
+            color = color * tex_mod.sample_atlas(
+                scene.tex_atlas, scene.tex_meta, tex_id, tex_uv, lod
+            )
+        elif scene.textures is not None:
             tex_id = mat[:, 8].astype(jnp.int32)
             color = color * sample_texture_array(scene.textures, tex_id, tex_uv)
         return SurfaceInfo(
@@ -245,7 +265,14 @@ def hit_surface_info(
     g = scene.geo_id[pid]
     mat = scene.materials
     color = mat.base_color[g, :3]
-    if scene.textures is not None:
+    if scene.tex_atlas is not None:
+        from raytracer3_tpu.scene import textures as tex_mod
+
+        tex_id = mat.base_color_texture[g]
+        color = color * tex_mod.sample_atlas(
+            scene.tex_atlas, scene.tex_meta, tex_id, tex_uv, footprint_log2
+        )
+    elif scene.textures is not None:
         tex_id = mat.base_color_texture[g]
         color = color * sample_texture_array(scene.textures, tex_id, tex_uv)
 
@@ -463,8 +490,13 @@ def make_scene(
     base_color_texture: np.ndarray | None = None,
     textures: np.ndarray | None = None,
     env_map: np.ndarray | None = None,
+    tex_images: list | None = None,
 ) -> Scene:
-    """Assemble a device Scene from host numpy arrays."""
+    """Assemble a device Scene from host numpy arrays.
+
+    tex_images: list of native-resolution [H, W, 3] images → packed into a
+    mip atlas (scene/textures.py), taking precedence over `textures` (the
+    legacy common-resolution array)."""
     g = len(base_color)
     if base_color_texture is None:
         base_color_texture = np.full(g, -1, np.int32)
@@ -493,6 +525,37 @@ def make_scene(
     mt[:, 7] = np.asarray(roughness, np.float32)
     mt[:, 8] = np.asarray(base_color_texture, np.float32)
 
+    tex_kw = {}
+    if tex_images is not None and len(tex_images) > 0:
+        from raytracer3_tpu.scene import textures as tex_mod
+
+        atlas, meta = tex_mod.build_texture_atlas(tex_images)
+        # Per-material log2 texel density (area-weighted mean over its
+        # triangles) completes the ray-cone mip level at shading time.
+        v0 = positions[indices[:, 0]]
+        v1 = positions[indices[:, 1]]
+        v2 = positions[indices[:, 2]]
+        u0 = uvs[indices[:, 0]]
+        u1 = uvs[indices[:, 1]]
+        u2 = uvs[indices[:, 2]]
+        tex_of_tri = np.asarray(base_color_texture)[geo_id]
+        for gi in range(g):
+            ti = int(np.asarray(base_color_texture)[gi])
+            if ti < 0:
+                continue
+            sel = (geo_id == gi) & (tex_of_tri >= 0)
+            if not sel.any():
+                continue
+            d = tex_mod.texel_density_log2(
+                v0[sel], v1[sel], v2[sel], u0[sel], u1[sel], u2[sel],
+                float(meta[ti, 2]), float(meta[ti, 3]),
+            )
+            mt[gi, 9] = float(np.mean(d))
+        tex_kw = dict(
+            tex_atlas=jnp.asarray(atlas), tex_meta=jnp.asarray(meta)
+        )
+        textures = None  # atlas supersedes the legacy array
+
     env_kw = {}
     if env_map is not None:
         st_env, rgbp = build_env_tables(env_map)
@@ -520,4 +583,5 @@ def make_scene(
         shade_table=jnp.asarray(st),
         mat_table=jnp.asarray(mt),
         **env_kw,
+        **tex_kw,
     )

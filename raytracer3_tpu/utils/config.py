@@ -33,6 +33,10 @@ class RenderSettings:
     diffuse_only: bool = False
     # Firefly clamp for bounce radiance (0 = off).
     radiance_clamp: float = 0.0
+    # Pixel angular size for ray-cone texture LOD (≈ vertical fov / height;
+    # 65° at 1088 rows ≈ 0.00104). Only read when the scene carries a mip
+    # atlas (scene/textures.py).
+    tex_cone_angle: float = 0.00104
 
     @property
     def n_pixels(self) -> int:

@@ -74,3 +74,41 @@ def describe() -> str:
         f"{i.platform} × {i.num_devices} ({i.device_kind}) on "
         f"{i.num_hosts} host(s){mem}"
     )
+
+
+def pull_guarded(x, timeout: float = 180.0, what: str = "device pull"):
+    """Device→host pull with a watchdog: np.asarray(x) in a worker thread,
+    TimeoutError with a diagnostic if it exceeds ``timeout`` seconds.
+
+    On the tunneled TPU runtime a hung transfer blocks silently for minutes
+    (docs/ROADMAP.md measurement notes); the reference's only hang protection
+    is its 1 s semaphore timeouts (render_graph/mod.rs:665). Interactive
+    paths (viewer save/drain, bench pulls) should pull through this guard.
+    The worker thread is daemonic — a truly wedged transfer doesn't block
+    interpreter exit, but its memory is not reclaimed until process end.
+    """
+    import threading
+
+    import numpy as np
+
+    result: list = [None]
+    error: list = [None]
+
+    def work():
+        try:
+            result[0] = np.asarray(x)
+        except Exception as e:  # noqa: BLE001 — reraised on the caller
+            error[0] = e
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        raise TimeoutError(
+            f"{what} exceeded {timeout:.0f}s — the tunneled device link is "
+            "likely wedged (transfer hung, not slow compute). Retry the "
+            "pull, or restart the process to re-establish the tunnel."
+        )
+    if error[0] is not None:
+        raise error[0]
+    return result[0]

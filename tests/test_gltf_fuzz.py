@@ -71,3 +71,34 @@ class TestGLBFuzz:
                 gltf.load_glb(bytes(data))
             except Exception:
                 pass  # any clean exception is acceptable
+
+
+class TestWriteGlbMulti:
+    def test_roundtrip_atrium_through_ingest(self):
+        from raytracer3_tpu.scene import gltf as gltf_mod
+        from raytracer3_tpu.scene import procedural
+
+        kw = procedural.atrium(detail=1)
+        blob = gltf_mod.write_glb_multi(
+            None,
+            kw["positions"], kw["normals"], kw["uvs"], kw["indices"],
+            kw["geo_id"], kw["base_color"], kw["emission"],
+            kw["metallic"], kw["roughness"],
+        )
+        md = gltf_mod.load_glb(blob)
+        assert md.indices.shape[0] == kw["indices"].shape[0]
+        # Per-material triangle counts survive the primitive grouping.
+        import collections
+
+        a = collections.Counter(kw["geo_id"].tolist())
+        b = collections.Counter(md.geo_id.tolist())
+        assert a == b
+        np.testing.assert_allclose(
+            md.base_color[:, :3],
+            np.asarray(kw["base_color"])[:, :3], atol=1e-6,
+        )
+        np.testing.assert_allclose(md.emission, kw["emission"], rtol=1e-5)
+        # Triangle SETS match per material (order may differ).
+        va = np.sort(kw["positions"][kw["indices"]].reshape(-1, 9), axis=0)
+        vb = np.sort(md.positions[md.indices].reshape(-1, 9), axis=0)
+        np.testing.assert_allclose(va, vb, atol=1e-6)

@@ -94,3 +94,30 @@ class TestGoldenBreadth:
             os.path.join(os.path.dirname(__file__), "golden", "textured_64_8f.npy")
         )
         np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-5)
+
+    def test_probe_display_128_bitstable(self):
+        """Higher-res probe golden: the bilinear+edge-aware interpolation
+        must stay clean at 128×128 (round-2 bleed regression guard)."""
+        from tools import regen_goldens
+
+        img = regen_goldens.probe_display(res=128, frames=8)
+        golden = np.load(
+            os.path.join(
+                os.path.dirname(__file__), "golden",
+                "probe_display_128_8f.npy",
+            )
+        )
+        np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-5)
+
+    def test_textured_mip_bitstable(self):
+        """Atlas + ray-cone LOD path (scene/textures.py): native-res checker
+        floor must render bit-stably through the wavefront mip plumbing."""
+        from tools import regen_goldens
+
+        img = regen_goldens.textured_mip()
+        golden = np.load(
+            os.path.join(
+                os.path.dirname(__file__), "golden", "textured_mip_64_8f.npy"
+            )
+        )
+        np.testing.assert_allclose(img, golden, rtol=1e-5, atol=1e-5)

@@ -122,3 +122,69 @@ class TestProgressiveStepTiled:
             np.asarray((f0 + f1) * 0.5),
             rtol=1e-5, atol=1e-6,
         )
+
+
+@pytest.mark.slow
+class TestWavefrontShardedPacket:
+    """VERDICT round-2 item 3: the PRODUCTION traversal paths (packet
+    kernel, TLAS) must run under shard_map — interpret mode on the 8-device
+    CPU mesh — and match the single-device render."""
+
+    def test_packet_backend_sharded_matches_single(self):
+        from raytracer3_tpu.ops.pallas import traverse_kernel as tk
+
+        scene = analytic.cornell_box()
+        cam = analytic.default_camera()
+        v0, v1, v2 = (np.asarray(a) for a in scene.tri_vertices())
+        backend = tk.packet_backend(
+            host_tris=(v0, v1, v2), leaf_size=4, width=8, sublanes=8,
+            interpret=True,
+        )
+        settings = RenderSettings(
+            width=16, height=8, bounces=1, samples=1, diffuse_only=True
+        )
+        mesh8 = pmesh.make_render_mesh(jax.devices())
+        img8 = pmesh.render_wavefront_tiled(
+            scene, cam, settings, jnp.uint32(3), backend.arrays,
+            backend.intersect_fn, backend.occluded_fn, mesh=mesh8,
+        )
+        mesh1 = pmesh.make_render_mesh(jax.devices()[:1])
+        img1 = pmesh.render_wavefront_tiled(
+            scene, cam, settings, jnp.uint32(3), backend.arrays,
+            backend.intersect_fn, backend.occluded_fn, mesh=mesh1,
+        )
+        assert np.isfinite(np.asarray(img8)).all()
+        # Same per-pixel RNG + per-ray traversal: sharding must not change
+        # radiance (packet regrouping can reorder FP reductions only through
+        # traversal visit order; identical hits → tight tolerance).
+        np.testing.assert_allclose(
+            np.asarray(img8), np.asarray(img1), rtol=1e-4, atol=1e-5
+        )
+
+    def test_treelet_backend_sharded(self):
+        from raytracer3_tpu.ops import treelets
+
+        scene = analytic.cornell_box()
+        cam = analytic.default_camera()
+        v0, v1, v2 = (np.asarray(a) for a in scene.tri_vertices())
+        backend = treelets.treelet_backend(
+            host_tris=(v0, v1, v2), leaf_size=4, width=8, max_tris=16,
+            sublanes=8, interpret=True,
+        )
+        assert backend.meta.num_treelets > 1
+        settings = RenderSettings(
+            width=16, height=8, bounces=1, samples=1, diffuse_only=True
+        )
+        mesh8 = pmesh.make_render_mesh(jax.devices())
+        img8 = pmesh.render_wavefront_tiled(
+            scene, cam, settings, jnp.uint32(1), backend.arrays,
+            backend.intersect_fn, backend.occluded_fn, mesh=mesh8,
+        )
+        mesh1 = pmesh.make_render_mesh(jax.devices()[:1])
+        img1 = pmesh.render_wavefront_tiled(
+            scene, cam, settings, jnp.uint32(1), backend.arrays,
+            backend.intersect_fn, backend.occluded_fn, mesh=mesh1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(img8), np.asarray(img1), rtol=1e-4, atol=1e-5
+        )

@@ -63,6 +63,7 @@ def run_treelet(args, v0, v1, v2):
     )
     meta = tt._replace(node_tables=None, cluster_tables=None, aabb=None)
     arrs = (tt.node_tables, tt.cluster_tables, tt.aabb)
+    k = tt.num_treelets
 
     cam = procedural.atrium_camera(aspect=960 / 544)
     w = 960
@@ -76,23 +77,69 @@ def run_treelet(args, v0, v1, v2):
         cam, w, h, jitter=jnp.full((pix.shape[0], 2), 0.5), pixel_xy=pix
     )
 
+    # TWO compiled programs serve every measurement (compiles cost minutes
+    # through this runtime): closest-hit with per-ray t_max + TRACED e_cap,
+    # and the any-hit twin.
     @jax.jit
-    def isect(nt, ct, ab, o_, d_):
-        tt2 = meta._replace(node_tables=nt, cluster_tables=ct, aabb=ab)
-        return treelets.treelet_intersect(tt2, o_, d_, sublanes=args.sublanes)
-
-    @jax.jit
-    def occl(nt, ct, ab, o_, d_, tm):
+    def isect(nt, ct, ab, o_, d_, tm, ecap):
         tt2 = meta._replace(node_tables=nt, cluster_tables=ct, aabb=ab)
         return treelets.treelet_intersect(
-            tt2, o_, d_, t_max=tm, any_hit=True, sublanes=args.sublanes
+            tt2, o_, d_, t_max=tm, sublanes=args.sublanes, e_cap=ecap
+        )
+
+    @jax.jit
+    def occl(nt, ct, ab, o_, d_, tm, ecap):
+        tt2 = meta._replace(node_tables=nt, cluster_tables=ct, aabb=ab)
+        return treelets.treelet_intersect(
+            tt2, o_, d_, t_max=tm, any_hit=True, sublanes=args.sublanes,
+            e_cap=ecap,
         ).hit
 
-    n = o.shape[0]
-    dt = _time(functools.partial(isect, *arrs), o, d)
-    print(f"primary   : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s")
+    if args.rounds:
+        @jax.jit
+        def isect_r(nt, ct, ab, o_, d_, tm):
+            tt2 = meta._replace(node_tables=nt, cluster_tables=ct, aabb=ab)
+            return treelets.treelet_intersect_rounds(
+                tt2, o_, d_, t_max=tm, sublanes=args.sublanes
+            )
 
-    hit = isect(*arrs, o, d)
+        @jax.jit
+        def occl_r(nt, ct, ab, o_, d_, tm):
+            tt2 = meta._replace(node_tables=nt, cluster_tables=ct, aabb=ab)
+            return treelets.treelet_intersect_rounds(
+                tt2, o_, d_, t_max=tm, any_hit=True, sublanes=args.sublanes
+            ).hit
+
+    n = o.shape[0]
+    full = jnp.int32(k)
+    pcap = jnp.full((n,), 1e5, jnp.float32)
+    if args.rounds:
+        dt = _time(functools.partial(isect_r, *arrs), o, d, pcap)
+        print(f"primary  R: {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s", flush=True)
+        hit = isect_r(*arrs, o, d, pcap)
+        rng = np.random.default_rng(0)
+        dirs = rng.normal(size=(n, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        alive = hit.hit
+        hp = o + hit.t[:, None] * d
+        origins2 = jnp.where(alive[:, None], hp, 1e30)
+        dirs = jnp.asarray(dirs)
+        cap = jnp.where(alive, 1e5, 0.0)
+        dt = _time(functools.partial(isect_r, *arrs), origins2, dirs, cap)
+        print(f"bounce   R: {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s", flush=True)
+        target = jnp.asarray([0.0, 8.0, 0.0])
+        to_l = target[None, :] - hp
+        dist = jnp.linalg.norm(to_l, axis=-1, keepdims=True)
+        sd = to_l / jnp.maximum(dist, 1e-6)
+        scap = jnp.where(alive, dist[:, 0] * 0.999, 0.0)
+        dt = _time(functools.partial(occl_r, *arrs), origins2, sd, scap)
+        print(f"shadow   R: {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s", flush=True)
+        return
+
+    dt = _time(functools.partial(isect, *arrs), o, d, pcap, full)
+    print(f"primary   : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s", flush=True)
+
+    hit = isect(*arrs, o, d, pcap, full)
     rng = np.random.default_rng(0)
     dirs = rng.normal(size=(n, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
@@ -103,42 +150,71 @@ def run_treelet(args, v0, v1, v2):
     # Dead lanes park via t_max=0 (the wavefront convention).
     cap = jnp.where(alive, 1e5, 0.0)
 
-    @jax.jit
-    def bounce(nt, ct, ab, o_, d_, tm):
-        tt2 = meta._replace(node_tables=nt, cluster_tables=ct, aabb=ab)
-        return treelets.treelet_intersect(
-            tt2, o_, d_, t_max=tm, sublanes=args.sublanes
-        )
-
-    dt = _time(functools.partial(bounce, *arrs), origins2, dirs, cap)
-    print(f"bounce    : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s")
+    dt = _time(functools.partial(isect, *arrs), origins2, dirs, cap, full)
+    print(f"bounce    : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s", flush=True)
 
     target = jnp.asarray([0.0, 8.0, 0.0])
     to_l = target[None, :] - hp
     dist = jnp.linalg.norm(to_l, axis=-1, keepdims=True)
     sd = to_l / jnp.maximum(dist, 1e-6)
     scap = jnp.where(alive, dist[:, 0] * 0.999, 0.0)
-    dt = _time(functools.partial(occl, *arrs), origins2, sd, scap)
-    print(f"shadow    : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s")
+    dt = _time(functools.partial(occl, *arrs), origins2, sd, scap, full)
+    print(f"shadow    : {dt*1e3:8.2f} ms  {n/dt/1e6:7.2f} Mray/s", flush=True)
+
+    # e_cap sweep on the SAME compiled program: cap 0 = pure grid/driver
+    # overhead (every step skipped), rising caps show how time tracks the
+    # candidate-union depth. (Hits drop below the true union — diagnostic.)
+    for cap_i in (0, 1, 2, 4, 8, 16):
+        if cap_i >= k:
+            break
+        dt = _time(
+            functools.partial(isect, *arrs), origins2, dirs, cap,
+            jnp.int32(cap_i), reps=3,
+        )
+        print(f"  bounce e_cap={cap_i:2d}: {dt*1e3:8.2f} ms", flush=True)
 
     if args.stats:
         @jax.jit
-        def stats_fn(ab, oo, dd, cc):
+        def stats_fn(nt, ct, ab, oo, dd, cc):
+            tt2 = meta._replace(node_tables=nt, cluster_tables=ct, aabb=ab)
+            _, srows = treelets.treelet_intersect(
+                tt2, oo, dd, t_max=cc, sublanes=args.sublanes, stats=True
+            )
+            return jnp.sum(srows, axis=0)
+
+        for tag, oo, dd, cc in (
+            ("primary", o, d, pcap),
+            ("bounce", origins2, dirs, cap),
+        ):
+            s = np.asarray(stats_fn(*arrs, oo, dd, cc)).astype(np.float64)
+            segs = (n + args.sublanes * 128 - 1) // (args.sublanes * 128)
+            print(
+                f"  stats {tag:8s}: /seg node pops {s[0]/segs:7.0f} "
+                f"(act {s[2]/max(s[0],1):5.2f}) leaf pops {s[1]/segs:7.0f} "
+                f"(act {s[3]/max(s[1],1):5.2f}) live steps {s[4]/segs:5.1f}",
+                flush=True,
+            )
+
+        @jax.jit
+        def layout_fn(ab, oo, dd, cc):
             return treelets.treelet_layout_stats(
                 tt._replace(aabb=ab), oo, dd, cc, sublanes=args.sublanes
             )
 
-        stats_fn = functools.partial(stats_fn, tt.aabb)
         for tag, oo, dd, cc in (
-            ("primary", o, d, jnp.asarray(1e5)),
+            ("primary", o, d, pcap),
             ("bounce", origins2, dirs, cap),
             ("shadow", origins2, sd, scap),
         ):
-            st = {k_: np.asarray(v) for k_, v in stats_fn(oo, dd, cc).items()}
+            st = {
+                k_: np.asarray(v)
+                for k_, v in layout_fn(tt.aabb, oo, dd, cc).items()
+            }
             print(
                 f"  layout {tag:8s}: cand {st['cand_mean']:.2f}/{st['cand_max']} "
                 f"union {st['union_mean']:.2f}/{st['union_max']} "
-                f"steps {st['steps']} segs {st['segments']}"
+                f"steps {st['steps']} segs {st['segments']}",
+                flush=True,
             )
 
     if args.sweep:
@@ -186,6 +262,11 @@ def run_treelet(args, v0, v1, v2):
 
 
 def main():
+    import faulthandler
+
+    # Periodic stack dumps: device waits on this runtime can silently hang
+    # for minutes; the dump shows *which* call is waiting.
+    faulthandler.dump_traceback_later(180, repeat=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("--detail", type=int, default=2)
     ap.add_argument("--sublanes", type=int, default=64)
@@ -195,8 +276,9 @@ def main():
     ap.add_argument("--stats", action="store_true")
     ap.add_argument("--hbm", action="store_true")
     ap.add_argument("--treelet", action="store_true")
-    ap.add_argument("--max-tris", type=int, default=16384)
+    ap.add_argument("--max-tris", type=int, default=32768)
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--rounds", action="store_true")
     args = ap.parse_args()
 
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk

@@ -72,7 +72,7 @@ def atrium_packet():
     return acc / 4
 
 
-def probe_display():
+def probe_display(res: int = 64, frames: int = 4):
     """Probe-GI pipeline display output (packed G-buffer → SIS → probes →
     SH → interpolate → AgX) on Cornell."""
     from raytracer3_tpu.ops import intersect
@@ -84,11 +84,11 @@ def probe_display():
     scene = analytic.cornell_box()
     cam = analytic.default_camera()
     backend = intersect.brute_backend(scene=scene)
-    s = RenderSettings(width=64, height=64, bounces=1, samples=1)
+    s = RenderSettings(width=res, height=res, bounces=1, samples=1)
     step, init_state = pipelines.probe_gi_pipeline(scene, s, backend=backend)
     state = init_state()
     disp = None
-    for i in range(4):
+    for i in range(frames):
         disp, state = step(state, cam=cam, frame_index=jnp.uint32(i))
     return np.asarray(disp)
 
@@ -152,10 +152,69 @@ def textured():
     return acc / 8
 
 
+def textured_mip():
+    """Checker floor through the MIP ATLAS path (scene/textures.py): native-
+    res texture + ray-cone LOD in the wavefront renderer — pins atlas
+    packing, trilinear sampling, and the footprint plumbing."""
+    from raytracer3_tpu.ops import intersect
+    from raytracer3_tpu.render import wavefront
+    from raytracer3_tpu.render.camera import Camera
+    from raytracer3_tpu.scene import types as scene_types
+    from raytracer3_tpu.utils.config import RenderSettings
+
+    positions = np.asarray(
+        [
+            [-8, 0, -8], [8, 0, -8], [8, 0, 8], [-8, 0, 8],
+            [-0.4, 1.5, -0.4], [0.4, 1.5, -0.4], [0.4, 1.5, 0.4], [-0.4, 1.5, 0.4],
+        ],
+        np.float32,
+    )
+    normals = np.asarray([[0, 1, 0]] * 4 + [[0, -1, 0]] * 4, np.float32)
+    uvs = np.asarray(
+        [[0, 0], [32, 0], [32, 32], [0, 32], [0, 0], [1, 0], [1, 1], [0, 1]],
+        np.float32,
+    )
+    indices = np.asarray(
+        [[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6]], np.int32
+    )
+    geo_id = np.asarray([0, 0, 1, 1], np.int32)
+    cx, cy = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    checker = ((cx // 4 + cy // 4) % 2).astype(np.float32)
+    tex = np.stack([checker, 0.3 + 0.4 * checker, 1.0 - checker], axis=-1)
+    scene = scene_types.make_scene(
+        positions=positions, normals=normals, uvs=uvs, indices=indices,
+        geo_id=geo_id,
+        base_color=np.asarray([[1, 1, 1, 1], [1, 1, 1, 1]], np.float32),
+        emission=np.asarray([[0, 0, 0], [2.0, 1.9, 1.8]], np.float32),
+        metallic=np.asarray([0, 0], np.float32),
+        roughness=np.asarray([0.9, 1.0], np.float32),
+        base_color_texture=np.asarray([0, -1], np.int32),
+        tex_images=[tex],
+    )
+    cam = Camera.create(
+        position=(0.0, 0.6, -7.5), direction=(0.0, -0.12, 1.0),
+        fov_y_deg=55.0, aspect=1.0,
+    )
+    backend = intersect.brute_backend(scene=scene)
+    isect, occl = backend.bind(backend.arrays)
+    s = RenderSettings(
+        width=64, height=64, bounces=2, samples=1, tex_cone_angle=0.015,
+    )
+    frame = jax.jit(
+        lambda fi: wavefront.render_frame(scene, cam, s, fi, isect, occl)
+    )
+    acc = np.zeros((64, 64, 3), np.float32)
+    for i in range(8):
+        acc += np.asarray(frame(jnp.uint32(i)))
+    return acc / 8
+
+
 GOLDENS = {
     "cornell_64_16f.npy": cornell_reference,
     "atrium_packet_48_4f.npy": atrium_packet,
     "probe_display_64_4f.npy": probe_display,
+    "probe_display_128_8f.npy": lambda: probe_display(res=128, frames=8),
+    "textured_mip_64_8f.npy": textured_mip,
     "textured_64_8f.npy": textured,
 }
 
