@@ -56,6 +56,7 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces, n_frames=3):
             scene_, cam, settings, fi, isect, occl,
             sort_rays=not backend.self_sorting,  # treelets sort internally
             blue_noise=bn, return_stats=True,
+            primary_fn=backend.bind_primary(bvh),
         )
         return film_mod.accumulate_progressive(film, radiance), traced
 

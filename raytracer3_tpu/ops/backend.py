@@ -34,6 +34,7 @@ class TraceBackend:
         occluded_fn: Callable,
         meta: Any = None,
         self_sorting: bool = False,
+        primary_fn: Callable | None = None,
     ):
         self.arrays = arrays
         self.intersect_fn = intersect_fn
@@ -43,6 +44,9 @@ class TraceBackend:
         # callers should then pass sort_rays=False to the wavefront — an
         # outer sorted_trace would duplicate the sort + gathers.
         self.self_sorting = self_sorting
+        # Optional cheaper trace for tile-ordered primary rays (already
+        # packet-coherent: the internal driver sort can be skipped).
+        self.primary_fn = primary_fn
 
     # Eager convenience (tests, interactive) — closure pattern, avoid in jit.
     def intersect(self, o, d):
@@ -58,3 +62,8 @@ class TraceBackend:
             lambda o, d: self.intersect_fn(arrays, o, d),
             lambda o, d, t: self.occluded_fn(arrays, o, d, t),
         )
+
+    def bind_primary(self, arrays):
+        """Closure for the primary trace (falls back to intersect_fn)."""
+        fn = self.primary_fn or self.intersect_fn
+        return lambda o, d: fn(arrays, o, d)

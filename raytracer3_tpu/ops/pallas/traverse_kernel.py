@@ -50,7 +50,10 @@ PACKET_SUBLANES = 512  # default sublane rows per packet (512 × 128 = 65536
 # and group-bit work skipping keeps the vector cost proportional to the rays
 # that actually want each subtree. 512 sublanes (32 groups × 16 rows) beat
 # 256 and 1024 on every ray population; beyond that group granularity is too
-# coarse and the union cost wins.
+# coarse and the union cost wins. 64 groups × 8 rows (two mask words)
+# measured a 15% REGRESSION on every population at 2M rays — the extra 32
+# lax.cond scalar branches per node/leaf pop cost more than the finer skip
+# granularity saves (probe_g64 vs probe_rev_base, 2026-08-17).
 STACK = 64
 GROUP_ROWS = 8  # sublane rows per work-skipping group (one native VPU tile)
 _BG = mathx.BACKGROUND_DEPTH
@@ -83,6 +86,11 @@ class PacketTables(NamedTuple):
     # Two-level (TLAS/BLAS) extras — None/0 for single-level tables.
     inst_table: jax.Array | None = None  # [I, 32] f32 (ops/tlas.py layout)
     tlas_nodes: int = 0
+    # Cluster rows carry the cluster AABB in lanes [10L, 10L+6). Reserved
+    # layout: a kernel-side per-half leaf slab cull over these measured a
+    # 25-35% REGRESSION (see handle_leaf note) and was removed; the lanes
+    # stay so a layout-compatible retry needs no table rebuild.
+    leaf_aabb: bool = False
 
 
 def pack_two_level(tl) -> PacketTables:
@@ -98,6 +106,7 @@ def pack_two_level(tl) -> PacketTables:
         depth=tl.depth,
         inst_table=jnp.asarray(tl.inst_table),
         tlas_nodes=tl.tlas_nodes,
+        leaf_aabb=True,  # BLAS rows come from pack_tables_host
     )
 
 
@@ -109,12 +118,29 @@ def pack_tables_host(cb: cb_mod.ClusterBVH) -> PacketTables:
     dozens of these, and a device upload + readback per part costs seconds
     each through the tunneled TPU runtime."""
     ls = cb.leaf_size
-    row_len = ((9 * ls + ls + 127) // 128) * 128
+    row_len = ((9 * ls + ls + 6 + 127) // 128) * 128
     ct = np.asarray(jax.device_get(cb.cluster_table))
     tids = np.asarray(jax.device_get(cb.tri_id)).astype(np.float32)
     rows = np.zeros((ct.shape[0], row_len), np.float32)
     rows[:, : 9 * ls] = ct[:, : 9 * ls]
     rows[:, 9 * ls : 9 * ls + ls] = tids
+    # Cluster AABB over valid tris (v0, v0+e1, v0+e2), padded by an epsilon
+    # so fp rounding can't cull a marginal Möller hit. Lanes [10L, 10L+6).
+    tri = ct[:, : 9 * ls].reshape(ct.shape[0], ls, 9)
+    v0 = tri[:, :, 0:3]
+    p1 = v0 + tri[:, :, 3:6]
+    p2 = v0 + tri[:, :, 6:9]
+    valid = (tids >= 0)[:, :, None]
+    big = np.float32(1e30)
+    pts_lo = np.minimum(np.minimum(
+        np.where(valid, v0, big), np.where(valid, p1, big)),
+        np.where(valid, p2, big)).min(axis=1)
+    pts_hi = np.maximum(np.maximum(
+        np.where(valid, v0, -big), np.where(valid, p1, -big)),
+        np.where(valid, p2, -big)).max(axis=1)
+    eps = 1e-4 * (np.linalg.norm(pts_hi - pts_lo, axis=1, keepdims=True) + 1e-3)
+    rows[:, 10 * ls : 10 * ls + 3] = pts_lo - eps
+    rows[:, 10 * ls + 3 : 10 * ls + 6] = pts_hi + eps
     return PacketTables(
         node_table=np.asarray(jax.device_get(cb.node_table)),
         cluster_table=rows,
@@ -123,6 +149,7 @@ def pack_tables_host(cb: cb_mod.ClusterBVH) -> PacketTables:
         num_clusters=cb.num_clusters,
         width=cb.width,
         depth=cb.depth,
+        leaf_aabb=True,
     )
 
 
@@ -154,9 +181,10 @@ def _kernel(
     - whole-tree (seg=False): (rays, nodes, clusters, [inst], out, [stats]);
       rays block [1, 8, S, 128], tables whole-array refs.
     - segment grid (seg=True): (seg_gmask, rays, nodes, clusters, out) over
-      grid (segments, E); seg_gmask [S, E] SMEM scalar-prefetch carries the
-      sublane-group activation bits of the e-th candidate treelet of segment
-      s (0 = skip step); tables are per-treelet blocks [1, Mt, row_len].
+      grid (segments, E); seg_gmask [S, E, n_words] SMEM scalar-prefetch
+      carries the sublane-group activation bit words of the e-th candidate
+      treelet of segment s (all-zero = skip step); tables are per-treelet
+      blocks [1, Mt, row_len].
       The out block stays resident across e, so best-t accumulates and
       later (farther) treelets are t-culled (ops/treelets.py driver).
     """
@@ -174,24 +202,34 @@ def _kernel(
         inst_ref = None
         stats_ref = m[0] if stats else None
     sublanes = rays_ref.shape[2]
-    # Group bitmasks live in int32 stacks → at most 32 groups; huge packets
-    # widen each group (rows) instead of adding groups.
+    # Work-skipping groups: capped at 32 (one int32 mask word). The word
+    # machinery below generalizes to multiple words, but 64×8-row groups
+    # measured a 15% regression on every population — the extra 32 lax.cond
+    # scalar branches per pop beat the finer skip granularity (see header).
     n_groups = max(1, min(32, sublanes // GROUP_ROWS))
     rows = sublanes // n_groups
-    all_bits = -1 if n_groups >= 32 else (1 << n_groups) - 1
+    n_words = (n_groups + 31) // 32
+
+    def _word_full(w):
+        g_in = min(n_groups - 32 * w, 32)
+        return -1 if g_in >= 32 else (1 << g_in) - 1
+
+    all_bits = [_word_full(w) for w in range(n_words)]
     out_ch = 5 if two_level else 4
     pid = pl.program_id(0) if stats else None
     if seg:
-        # Grid position + this step's group mask, read OUTSIDE run_scoped
-        # (program_id is unavailable inside the scoped discharge).
+        # Grid position + this step's group-mask words, read OUTSIDE
+        # run_scoped (program_id is unavailable inside the scoped discharge).
         seg_e = pl.program_id(1)
-        seg_gm = sgm_ref[pl.program_id(0), seg_e]
+        seg_gm = [
+            sgm_ref[pl.program_id(0), seg_e, w] for w in range(n_words)
+        ]
         seg_srow = jax.lax.rem(pl.program_id(0), 8) if stats else None
 
     def scoped(*scratch):
         it = iter(scratch)
         stack_ref = next(it)
-        gbits_ref = next(it)
+        gbits_refs = [next(it) for _ in range(n_words)]
         cbuf_ref = next(it) if clusters_hbm else None
         csem_ref = next(it) if clusters_hbm else None
         tray_ref = next(it) if two_level else None
@@ -252,20 +290,22 @@ def _kernel(
                     # zero only this segment's row.
                     stats_ref[seg_srow] = jnp.zeros((128,), jnp.int32)
 
-            gm0 = seg_gm
-            go = gm0 != 0
+            go = functools.reduce(
+                lambda a, b: a | b, seg_gm, jnp.int32(0)
+            ) != 0
             if any_hit:
                 resolved = (out_ref[0, 3] >= 0.0) | (t_cap <= t_min)
                 go = go & jnp.logical_not(jnp.all(resolved))
-            root_bits = gm0
+            root_bits = seg_gm
             sp0 = jnp.where(go, jnp.int32(1), jnp.int32(0))
         else:
             init_out()
-            root_bits = jnp.int32(all_bits)
+            root_bits = [jnp.int32(b) for b in all_bits]
             sp0 = jnp.int32(1)
 
         stack_ref[0] = 0  # root
-        gbits_ref[0] = root_bits
+        for w in range(n_words):
+            gbits_refs[w][0] = root_bits[w]
 
         # The stack pointer travels in the while carry, NOT in SMEM: a loop
         # condition reading a mutated ref never terminates in interpret mode,
@@ -278,7 +318,10 @@ def _kernel(
         def body(carry):
             sp = carry["sp"] - 1
             entry = stack_ref[sp]
-            mbits = gbits_ref[sp]
+            mbits_w = [gbits_refs[w][sp] for w in range(n_words)]
+
+            def g_active(g):
+                return ((mbits_w[g // 32] >> (g % 32)) & 1) == 1
 
             def handle_node(sp):
                 # Expand an internal node: per active sublane-group AABB
@@ -343,22 +386,29 @@ def _kernel(
                 for g in range(n_groups):
                     gvecs.append(
                         jax.lax.cond(
-                            ((mbits >> g) & 1) == 1,
+                            g_active(g),
                             functools.partial(group_keys, g),
                             lambda: jnp.full((width, 128), jnp.inf, jnp.float32),
                         )
                     )
                 merged = functools.reduce(jnp.minimum, gvecs)  # [width, 128]
                 keys_vec = jnp.min(merged, axis=1)  # [width]
-                bits_vec = jnp.zeros((width,), jnp.int32)
+                bits_words = [
+                    jnp.zeros((width,), jnp.int32) for _ in range(n_words)
+                ]
                 for g in range(n_groups):
                     gfin = jnp.min(gvecs[g], axis=1) < jnp.inf  # [width]
-                    bits_vec = bits_vec | jnp.where(
-                        gfin, jnp.left_shift(jnp.int32(1), jnp.int32(g)), 0
+                    bits_words[g // 32] = bits_words[g // 32] | jnp.where(
+                        gfin,
+                        jnp.left_shift(jnp.int32(1), jnp.int32(g % 32)),
+                        0,
                     )
 
                 keys = [keys_vec[s] for s in range(width)]
-                bits = [bits_vec[s] for s in range(width)]
+                bits = [
+                    [bits_words[w][s] for w in range(n_words)]
+                    for s in range(width)
+                ]
                 codes_l = list(slot_codes)
                 takes = [
                     (keys[s] < jnp.inf) & slot_real[s] for s in range(width)
@@ -376,7 +426,10 @@ def _kernel(
                         keys[a], keys[b] = pick(keys[a], keys[b])
                         codes_l[a], codes_l[b] = pick(codes_l[a], codes_l[b])
                         takes[a], takes[b] = pick(takes[a], takes[b])
-                        bits[a], bits[b] = pick(bits[a], bits[b])
+                        for w in range(n_words):
+                            bits[a][w], bits[b][w] = pick(
+                                bits[a][w], bits[b][w]
+                            )
 
                 # Compacted branch-free pushes: slot s lands at
                 # sp + (#takes before s), clamped to the (build-sized) stack.
@@ -390,7 +443,8 @@ def _kernel(
                     @pl.when(take)
                     def _(code=code, bit=bit, pos=pos):
                         stack_ref[pos] = code.astype(jnp.int32)
-                        gbits_ref[pos] = bit
+                        for w in range(n_words):
+                            gbits_refs[w][pos] = bit[w]
 
                     pushed = pushed + take.astype(jnp.int32)
 
@@ -415,85 +469,101 @@ def _kernel(
                     crow = clusters_ref[0, cl]  # [row_len]
                 else:
                     crow = clusters_ref[cl]  # [row_len]
-                # Triangle scalars extracted once; broadcast inside each
-                # active group's predicated body.
-                tris = []
-                for j in range(leaf_size):
-                    b = j * 9
-                    tris.append(
-                        (
-                            crow[b], crow[b + 1], crow[b + 2],
-                            crow[b + 3], crow[b + 4], crow[b + 5],
-                            crow[b + 6], crow[b + 7], crow[b + 8],
-                            crow[9 * leaf_size + j],
-                        )
-                    )
 
+                def extract_tris():
+                    # Triangle scalars extracted once; broadcast inside each
+                    # active block's predicated body.
+                    tris = []
+                    for j in range(leaf_size):
+                        b = j * 9
+                        tris.append(
+                            (
+                                crow[b], crow[b + 1], crow[b + 2],
+                                crow[b + 3], crow[b + 4], crow[b + 5],
+                                crow[b + 6], crow[b + 7], crow[b + 8],
+                                crow[9 * leaf_size + j],
+                            )
+                        )
+                    return tris
+
+                def moller_block(tris, sl):
+                    gox, goy, goz = (
+                        ray_slice(0, sl), ray_slice(1, sl), ray_slice(2, sl)
+                    )
+                    gdx, gdy, gdz = (
+                        ray_slice(3, sl), ray_slice(4, sl), ray_slice(5, sl)
+                    )
+                    bt = out_ref[0, 0, sl]
+                    bu = out_ref[0, 1, sl]
+                    bv = out_ref[0, 2, sl]
+                    bid = out_ref[0, 3, sl]
+                    if two_level:
+                        binst = out_ref[0, 4, sl]
+                        hit_any = jnp.zeros_like(bt, dtype=jnp.bool_)
+                    for (
+                        v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, tid
+                    ) in tris:
+                        # pvec = d × e2
+                        px_ = gdy * e2z - gdz * e2y
+                        py_ = gdz * e2x - gdx * e2z
+                        pz_ = gdx * e2y - gdy * e2x
+                        det = e1x * px_ + e1y * py_ + e1z * pz_
+                        inv_det = jnp.where(
+                            jnp.abs(det) > 1e-9, 1.0 / det, 0.0
+                        )
+                        tx = gox - v0x
+                        ty = goy - v0y
+                        tz = goz - v0z
+                        uu = (tx * px_ + ty * py_ + tz * pz_) * inv_det
+                        # qvec = tvec × e1
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        vv = (gdx * qx + gdy * qy + gdz * qz) * inv_det
+                        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        ok = (
+                            (jnp.abs(det) > 1e-9)
+                            & (uu >= 0.0)
+                            & (vv >= 0.0)
+                            & (uu + vv <= 1.0)
+                            & (tt > t_min)
+                            & (tt < bt)
+                            & (tid >= 0.0)
+                        )
+                        bt = jnp.where(ok, tt, bt)
+                        bu = jnp.where(ok, uu, bu)
+                        bv = jnp.where(ok, vv, bv)
+                        bid = jnp.where(ok, tid, bid)
+                        if two_level:
+                            hit_any = hit_any | ok
+                    out_ref[0, 0, sl] = bt
+                    out_ref[0, 1, sl] = bu
+                    out_ref[0, 2, sl] = bv
+                    out_ref[0, 3, sl] = bid
+                    if two_level:
+                        out_ref[0, 4, sl] = jnp.where(
+                            hit_any, cur_inst.astype(jnp.float32), binst
+                        )
+
+                # (Round-3 negative result, measured at 2M rays: per-half
+                # cluster-AABB slab culling — lax.cond per active group
+                # computing an [8,128] slab + jnp.any, pl.when per 8-row half
+                # around moller_block — regressed EVERY population 25-35%
+                # (bounce 2.75 → 2.10, presorted primary 27.4 → 22.3 Mray/s).
+                # Each vector→scalar reduction forces a VPU pipeline drain
+                # before the scalar branch; ~7 drains per leaf pop cost more
+                # than the skipped Möller work saved. Same failure mode as
+                # round 2's any-hit blocked-skip. Cluster AABBs remain packed
+                # in row lanes [10L, 10L+6) for layout-compatible retries.)
+                tris = extract_tris()
                 for g in range(n_groups):
                     # (An extra any-hit per-group "all blocked" skip measured
                     # a 2.4x REGRESSION here: n_groups unconditional [8,128]
                     # reductions per leaf pop cost more than skipped groups
                     # save. Group bits alone carry the work skipping.)
-                    @pl.when(((mbits >> g) & 1) == 1)
+                    @pl.when(g_active(g))
                     def _(g=g):
-                        sl = slice(g * rows, (g + 1) * rows)
-                        gox, goy, goz = (
-                            ray_slice(0, sl), ray_slice(1, sl), ray_slice(2, sl)
-                        )
-                        gdx, gdy, gdz = (
-                            ray_slice(3, sl), ray_slice(4, sl), ray_slice(5, sl)
-                        )
-                        bt = out_ref[0, 0, sl]
-                        bu = out_ref[0, 1, sl]
-                        bv = out_ref[0, 2, sl]
-                        bid = out_ref[0, 3, sl]
-                        if two_level:
-                            binst = out_ref[0, 4, sl]
-                            hit_any = jnp.zeros_like(bt, dtype=jnp.bool_)
-                        for (
-                            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, tid
-                        ) in tris:
-                            # pvec = d × e2
-                            px_ = gdy * e2z - gdz * e2y
-                            py_ = gdz * e2x - gdx * e2z
-                            pz_ = gdx * e2y - gdy * e2x
-                            det = e1x * px_ + e1y * py_ + e1z * pz_
-                            inv_det = jnp.where(
-                                jnp.abs(det) > 1e-9, 1.0 / det, 0.0
-                            )
-                            tx = gox - v0x
-                            ty = goy - v0y
-                            tz = goz - v0z
-                            uu = (tx * px_ + ty * py_ + tz * pz_) * inv_det
-                            # qvec = tvec × e1
-                            qx = ty * e1z - tz * e1y
-                            qy = tz * e1x - tx * e1z
-                            qz = tx * e1y - ty * e1x
-                            vv = (gdx * qx + gdy * qy + gdz * qz) * inv_det
-                            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                            ok = (
-                                (jnp.abs(det) > 1e-9)
-                                & (uu >= 0.0)
-                                & (vv >= 0.0)
-                                & (uu + vv <= 1.0)
-                                & (tt > t_min)
-                                & (tt < bt)
-                                & (tid >= 0.0)
-                            )
-                            bt = jnp.where(ok, tt, bt)
-                            bu = jnp.where(ok, uu, bu)
-                            bv = jnp.where(ok, vv, bv)
-                            bid = jnp.where(ok, tid, bid)
-                            if two_level:
-                                hit_any = hit_any | ok
-                        out_ref[0, 0, sl] = bt
-                        out_ref[0, 1, sl] = bu
-                        out_ref[0, 2, sl] = bv
-                        out_ref[0, 3, sl] = bid
-                        if two_level:
-                            out_ref[0, 4, sl] = jnp.where(
-                                hit_any, cur_inst.astype(jnp.float32), binst
-                            )
+                        moller_block(tris, slice(g * rows, (g + 1) * rows))
 
                 return sp
 
@@ -556,7 +626,8 @@ def _kernel(
                             tray_ref[k] = v
                         pos = jnp.minimum(sp, stack - 1)
                         stack_ref[pos] = irow[12].astype(jnp.int32)  # blas root
-                        gbits_ref[pos] = mbits
+                        for w in range(n_words):
+                            gbits_refs[w][pos] = mbits_w[w]
                         return jnp.minimum(sp + 1, stack), inst
 
                     return jax.lax.cond(
@@ -582,7 +653,7 @@ def _kernel(
                 is_node = (entry >= 0).astype(jnp.int32)
                 pc = jnp.int32(0)
                 for g in range(n_groups):
-                    pc = pc + ((mbits >> g) & 1)
+                    pc = pc + ((mbits_w[g // 32] >> (g % 32)) & 1)
                 st = carry["st"]
                 out["st"] = (
                     st[0] + is_node,
@@ -615,9 +686,8 @@ def _kernel(
             stats_ref[pid, 2] = st[2]  # node group activations
             stats_ref[pid, 3] = st[3]  # leaf group activations
 
-    shapes = [
-        pltpu.SMEM((stack,), jnp.int32),
-        pltpu.SMEM((stack,), jnp.int32),
+    shapes = [pltpu.SMEM((stack,), jnp.int32)] + [
+        pltpu.SMEM((stack,), jnp.int32) for _ in range(n_words)
     ]
     if clusters_hbm:
         shapes.append(pltpu.VMEM((1, clusters_ref.shape[1]), jnp.float32))
@@ -731,7 +801,7 @@ def packet_intersect(
 def packet_intersect_segments(
     tt,
     seg_list: jax.Array,  # [S, E] int32 treelet id per candidate slot (DMA)
-    seg_gmask: jax.Array,  # [S, E] int32 group-activation bits (0 = skip)
+    seg_gmask: jax.Array,  # [S, E, W] int32 group-activation words (0 = skip)
     origins: jax.Array,  # [S*p, 3] rays already in segment order
     directions: jax.Array,  # [S*p, 3]
     t_cap: jax.Array,  # [S*p] per-ray cap (0 parks a lane)
@@ -849,7 +919,7 @@ def packet_backend(
         v0, v1, v2 = host_tris
     else:
         v0, v1, v2 = scene.tri_vertices()
-    row_len = ((9 * leaf_size + leaf_size + 127) // 128) * 128
+    row_len = ((9 * leaf_size + leaf_size + 6 + 127) // 128) * 128
     est_clusters = -(-v0.shape[0] // leaf_size) * 1.35  # SAH underfill slack
     if clusters_hbm is None and est_clusters * row_len * 4 > CLUSTERS_VMEM_LIMIT:
         from raytracer3_tpu.ops import treelets

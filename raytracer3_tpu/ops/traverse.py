@@ -45,6 +45,10 @@ def bvh_intersect(
     any_hit=True turns it into an occlusion query that terminates lanes on
     the first accepted hit (shadow rays)."""
     n = origins.shape[0]
+    # BVH tables may be host numpy (builders are host-native end-to-end —
+    # ops/bvh.py / native.build_sah_bvh); traced indexing needs device
+    # arrays, so coerce once at query entry (no-op for jax.Array fields).
+    bvh = bvh_mod.BVH(*(jnp.asarray(t) for t in bvh))
     t_internal = bvh.num_internal
     inv_d = _prep(directions)
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

@@ -56,6 +56,7 @@ class TreeletTables(NamedTuple):
     num_treelets: int
     max_nodes: int
     max_clusters: int
+    leaf_aabb: bool = False  # cluster rows carry AABBs in lanes [10L, 10L+6)
 
 
 def _median_partition(centroids: np.ndarray, max_items: int) -> list[np.ndarray]:
@@ -125,8 +126,11 @@ def build_treelets_host(
     lane = clusters[0].shape[1]
     node_t = np.zeros((k, mt, row_len), np.float32)
     clus_t = np.zeros((k, ctm, lane), np.float32)
-    # Padding cluster rows: degenerate tris (e1=e2=0 → det 0) + tid -1.
+    # Padding cluster rows: degenerate tris (e1=e2=0 → det 0) + tid -1, and
+    # inverted AABBs so half-culling skips them outright.
     clus_t[:, :, 9 * leaf_size : 10 * leaf_size] = -1.0
+    clus_t[:, :, 10 * leaf_size : 10 * leaf_size + 3] = 1e30
+    clus_t[:, :, 10 * leaf_size + 3 : 10 * leaf_size + 6] = -1e30
     # Padding node rows: every slot an inverted box with empty code -1.
     node_t[:, :, 0 : 3 * width] = 1e30
     node_t[:, :, 3 * width : 6 * width] = -1e30
@@ -146,6 +150,7 @@ def build_treelets_host(
         num_treelets=k,
         max_nodes=mt,
         max_clusters=ctm,
+        leaf_aabb=True,
     )
 
 
@@ -204,8 +209,9 @@ def _run_segments(
     p = sublanes * 128
     n_pad = o.shape[0]
     s_count = n_pad // p
-    groups = max(1, min(32, sublanes // GROUP_ROWS))
+    groups = max(1, min(32, sublanes // GROUP_ROWS))  # match _kernel's cap
     rows_per_group = sublanes // groups
+    n_words = (groups + 31) // 32  # must match _kernel's word split
 
     seg_tn = jnp.min(tn_s.reshape(s_count, p, k), axis=1)  # [S, K]
     seg_any = jnp.any(want_s.reshape(s_count, p, k), axis=1)
@@ -224,13 +230,21 @@ def _run_segments(
     # rays wants t.
     gw = want_s.reshape(s_count, groups, rows_per_group * 128, k)
     gact = jnp.any(gw, axis=2)  # [S, G, K]
-    shifts = jnp.arange(groups, dtype=jnp.int32)
-    gmask_k = jnp.sum(
-        gact.astype(jnp.int32) << shifts[None, :, None], axis=1,
-        dtype=jnp.int32,
-    )  # [S, K]
-    seg_gmask = jnp.take_along_axis(gmask_k, jnp.maximum(seg_order, 0), axis=1)
-    seg_gmask = jnp.where(seg_valid, seg_gmask, 0)
+    words = []
+    for wd in range(n_words):
+        lo, hi = 32 * wd, min(32 * (wd + 1), groups)
+        shifts = jnp.arange(hi - lo, dtype=jnp.int32)
+        words.append(
+            jnp.sum(
+                gact[:, lo:hi].astype(jnp.int32) << shifts[None, :, None],
+                axis=1, dtype=jnp.int32,
+            )
+        )
+    gmask_k = jnp.stack(words, axis=-1)  # [S, K, W]
+    seg_gmask = jnp.take_along_axis(
+        gmask_k, jnp.maximum(seg_order, 0)[:, :, None], axis=1
+    )  # [S, E, W]
+    seg_gmask = jnp.where(seg_valid[:, :, None], seg_gmask, 0)
     if e_cap is not None:
         slot = jax.lax.broadcasted_iota(jnp.int32, seg_gmask.shape, 1)
         seg_gmask = jnp.where(slot < e_cap, seg_gmask, 0)
@@ -252,6 +266,7 @@ def treelet_intersect(
     interpret: bool = False,
     sublanes: int = 512,
     presorted: bool = False,
+    sort_chunk: int = 1,
     e_cap=None,
     stats: bool = False,
 ) -> intersect.Hit:
@@ -259,6 +274,13 @@ def treelet_intersect(
 
     t_max may be scalar or per-ray [N] (shadow distances; 0 parks a lane).
     presorted=True skips the coherence sort (caller already ordered rays).
+    sort_chunk=g > 1 sorts g-ray chunks by their min key instead of single
+    rays (N/g-key argsorts, g-contiguous gathers). MEASURED NEGATIVE on
+    every 2M-ray population (tools/probe_r3.py, chunk 8/32/128: bounces
+    2.75 → 1.3 Mray/s, sun shadows 9.7 → 1.9): chunk-diluted segments blow
+    up the per-segment treelet-candidate union, and extra live steps cost
+    far more than the smaller argsort saves. Kept as a diagnostic knob;
+    production paths use per-ray sorting (default 1).
     e_cap: TRACED scalar; candidate slots ≥ e_cap get gmask 0 (skipped).
     Diagnostic only — caps < the true union size drop hits. One compiled
     program serves every cap (the compile costs minutes on this runtime)."""
@@ -269,8 +291,6 @@ def treelet_intersect(
     p = sublanes * 128
     n_pad = ((n + p - 1) // p) * p
     s_count = n_pad // p
-    groups = max(1, min(32, sublanes // GROUP_ROWS))
-    rows_per_group = sublanes // groups
 
     t_cap = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     o = jnp.pad(origins, ((0, n_pad - n), (0, 0)), constant_values=1e30)
@@ -303,7 +323,14 @@ def treelet_intersect(
         lo = tt.aabb[:, 0:3].min(axis=0)
         hi = tt.aabb[:, 3:6].max(axis=0)
         key = (tid0 << 21) | (octant << 18) | _morton6(entry, lo, hi)
-        order = jnp.argsort(key)
+        if sort_chunk > 1:
+            g = sort_chunk
+            kc = jnp.min(key.reshape(-1, g), axis=1)
+            cperm = jnp.argsort(kc)
+            off = jnp.arange(g, dtype=cperm.dtype)[None, :]
+            order = (cperm[:, None] * g + off).reshape(-1)
+        else:
+            order = jnp.argsort(key)
         packed = jnp.concatenate([o, d, cap[:, None]], axis=1)[order]
         o, d, cap = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
         # Segment metadata needs per-SORTED-ray slabs: RECOMPUTE densely on
@@ -323,7 +350,12 @@ def treelet_intersect(
         out, stat_rows = out
 
     if order is not None:
-        inv = jnp.argsort(order)
+        if sort_chunk > 1:
+            g = sort_chunk
+            off = jnp.arange(g, dtype=cperm.dtype)[None, :]
+            inv = (jnp.argsort(cperm)[:, None] * g + off).reshape(-1)
+        else:
+            inv = jnp.argsort(order)
         out = out[:, inv]
     out = out[:, :n]
     prim_id = out[3].astype(jnp.int32)
@@ -533,9 +565,17 @@ def treelet_backend(
     sublanes: int = 512,
     interpret: bool = False,
     host_tris=None,
+    shadow_chunk: int = 1,
+    primary_presorted: bool = True,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
-    arguments (ops/backend.py)."""
+    arguments (ops/backend.py).
+
+    shadow_chunk: sort_chunk granularity for occlusion traces — leave at 1
+    (chunked sorting measured negative everywhere, see treelet_intersect).
+    primary_presorted: skip the driver sort on the primary trace (tile-
+    swizzled primaries are already packet-coherent, render/wavefront.py;
+    measured 27.4 vs 20.6 Mray/s at 2M rays)."""
     from raytracer3_tpu.ops.backend import TraceBackend
 
     if host_tris is not None:
@@ -567,7 +607,16 @@ def treelet_backend(
     def occl_fn(arrays, o, d, tmax):
         return treelet_intersect(
             _rebind(arrays), o, d, t_max=tmax, any_hit=True,
-            interpret=interpret, sublanes=sublanes,
+            interpret=interpret, sublanes=sublanes, sort_chunk=shadow_chunk,
         ).hit
 
-    return TraceBackend(arrays, isect_fn, occl_fn, meta=tt, self_sorting=True)
+    def primary_fn(arrays, o, d):
+        return treelet_intersect(
+            _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
+            presorted=primary_presorted,
+        )
+
+    return TraceBackend(
+        arrays, isect_fn, occl_fn, meta=tt, self_sorting=True,
+        primary_fn=primary_fn if primary_presorted else None,
+    )

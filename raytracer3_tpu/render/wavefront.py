@@ -319,6 +319,7 @@ def render_frame(
     blue_noise: Optional[jax.Array] = None,
     tile_primaries: bool = True,
     return_stats: bool = False,
+    primary_fn: Optional[pathtracer.IntersectFn] = None,
 ) -> jax.Array:
     """One frame: primary rays → wavefront bounce loop → scatter to film
     [H, W, 3] raw radiance. Samples loop on the outside (decorrelated).
@@ -353,7 +354,9 @@ def render_frame(
             b1 = rng.animate_blue_noise(blue_noise[bx, by], fi + jnp.uint32(7919))
             uj = jnp.stack([b0, b1], axis=-1)
         o, d = camera_mod.primary_rays(cam, w, h, jitter=uj, pixel_xy=pix)
-        hit0 = intersect_fn(o, d)
+        # Tile-swizzled primaries are already packet-coherent; backends may
+        # supply a sort-skipping primary trace (TraceBackend.primary_fn).
+        hit0 = (primary_fn or intersect_fn)(o, d)
 
         q = RayQueue(
             origin=o,

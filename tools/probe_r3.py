@@ -1,0 +1,270 @@
+"""Round-3 treelet driver/kernel experiments at full-frame ray counts
+(2.09M). Measures, on the real chip:
+
+  - presorted primaries (tile order, skip the driver sort)
+  - chunked sorting (sort_chunk g) for shadow + bounce populations
+  - any-hit on incoherent rays
+  - kernel stats for the 2M bounce population
+  - K=8 (65k-tri treelets) table variant
+
+    python tools/probe_r3.py [--what drivers|stats|k8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perf_probe import _pull, _time  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--detail", type=int, default=8)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1088)
+    ap.add_argument("--sublanes", type=int, default=512)
+    ap.add_argument("--max-tris", type=int, default=32768)
+    ap.add_argument("--bvh-width", type=int, default=16)
+    ap.add_argument("--leaf-size", type=int, default=12)
+    ap.add_argument("--what", default="drivers")
+    args = ap.parse_args()
+
+    from raytracer3_tpu.ops import treelets
+    from raytracer3_tpu.render import camera as camera_mod
+    from raytracer3_tpu.render import wavefront
+    from raytracer3_tpu.scene import procedural
+    from raytracer3_tpu.utils import runtime
+    from raytracer3_tpu.utils.config import RenderSettings
+
+    runtime.init_compilation_cache()
+    w, h = args.width, args.height
+    n = w * h
+    scene, host = procedural.atrium_scene(detail=args.detail, return_host=True)
+    cam = procedural.atrium_camera(aspect=w / h)
+
+    t0 = time.perf_counter()
+    tt = treelets.build_treelets_host(
+        host[0], host[1], host[2], leaf_size=args.leaf_size,
+        width=args.bvh_width, max_tris=args.max_tris,
+    )
+    print(
+        f"tris={host[0].shape[0]} n={n} K={tt.num_treelets} "
+        f"mt={tt.max_nodes} ct={tt.max_clusters} build={time.perf_counter()-t0:.1f}s",
+        flush=True,
+    )
+    nodes, clus, ab = tt.node_tables, tt.cluster_tables, tt.aabb
+
+    # Ray populations.
+    key = jax.random.PRNGKey(0)
+    kp = jax.random.split(key, 6)
+    tile_pix = wavefront.tiled_pixel_order(w, h)
+    o_tile, d_tile = camera_mod.primary_rays(cam, w, h, pixel_xy=tile_pix)
+    lo = np.asarray(jnp.min(scene.positions, axis=0))
+    hi = np.asarray(jnp.max(scene.positions, axis=0))
+    o_rand = jax.random.uniform(
+        kp[0], (n, 3), minval=jnp.asarray(lo), maxval=jnp.asarray(hi)
+    )
+    d_rand = jax.random.normal(kp[1], (n, 3))
+    d_rand = d_rand / jnp.linalg.norm(d_rand, axis=1, keepdims=True)
+    sun = jnp.asarray([0.3, 0.8, 0.5])
+    sun = sun / jnp.linalg.norm(sun)
+    d_sun = jnp.broadcast_to(sun, (n, 3))
+    # Mixed shadow population: half toward the sun, half toward one of 4
+    # random in-scene point lights (the NEE area/env mixture shape).
+    lights = jax.random.uniform(
+        kp[2], (4, 3), minval=jnp.asarray(lo), maxval=jnp.asarray(hi)
+    )
+    pick = jax.random.randint(kp[3], (n,), 0, 4)
+    to_l = lights[pick] - o_rand
+    dist = jnp.linalg.norm(to_l, axis=1, keepdims=True)
+    d_point = to_l / jnp.maximum(dist, 1e-6)
+    use_sun = jax.random.uniform(kp[4], (n,)) < 0.5
+    d_mix = jnp.where(use_sun[:, None], d_sun, d_point)
+    t_mix = jnp.where(use_sun, 100.0, dist[:, 0] * 0.999)
+
+    def isect_fn(presorted=False, chunk=1, any_hit=False, per_ray_t=False):
+        @jax.jit
+        def f(nt, ct, ab_, o_, d_, tm):
+            tt2 = tt._replace(node_tables=nt, cluster_tables=ct, aabb=ab_)
+            hh = treelets.treelet_intersect(
+                tt2, o_, d_, t_max=tm, any_hit=any_hit,
+                sublanes=args.sublanes, presorted=presorted, sort_chunk=chunk,
+            )
+            return jnp.sum(hh.t) + jnp.sum(hh.prim_id)
+
+        return f
+
+    BG = 100000.0
+
+    if args.what == "bounce":
+        # Single-compile shape sweeps (--bvh-width / --leaf-size).
+        f = isect_fn()
+        tm_a = jnp.full((n,), BG, jnp.float32)
+        dt = _time(f, nodes, clus, ab, o_rand, d_rand, tm_a, reps=3)
+        print(f"{'bounce sorted':24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
+              flush=True)
+
+    if args.what == "base":
+        # The four production populations only (fresh-compile budget).
+        cases = [
+            ("primary presorted", isect_fn(presorted=True), o_tile, d_tile, BG),
+            ("bounce sorted (base)", isect_fn(), o_rand, d_rand, BG),
+            ("occl sun (base)", isect_fn(any_hit=True), o_rand, d_sun, 100.0),
+            ("occl mix (base)", isect_fn(any_hit=True), o_rand, d_mix, t_mix),
+        ]
+        for tag, f, o_, d_, tm in cases:
+            tm_a = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), (n,))
+            dt = _time(f, nodes, clus, ab, o_, d_, tm_a, reps=3)
+            print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
+                  flush=True)
+
+    if args.what in ("drivers", "all"):
+        cases = [
+            ("primary sorted (base)", isect_fn(), o_tile, d_tile, BG),
+            ("primary presorted", isect_fn(presorted=True), o_tile, d_tile, BG),
+            ("primary chunk128", isect_fn(chunk=128), o_tile, d_tile, BG),
+            ("bounce sorted (base)", isect_fn(), o_rand, d_rand, BG),
+            ("bounce chunk8", isect_fn(chunk=8), o_rand, d_rand, BG),
+            ("bounce chunk32", isect_fn(chunk=32), o_rand, d_rand, BG),
+            ("occl sun (base)", isect_fn(any_hit=True), o_rand, d_sun, 100.0),
+            ("occl sun chunk128", isect_fn(any_hit=True, chunk=128),
+             o_rand, d_sun, 100.0),
+            ("occl mix (base)", isect_fn(any_hit=True), o_rand, d_mix, t_mix),
+            ("occl mix chunk32", isect_fn(any_hit=True, chunk=32),
+             o_rand, d_mix, t_mix),
+            ("occl mix chunk128", isect_fn(any_hit=True, chunk=128),
+             o_rand, d_mix, t_mix),
+            ("occl bounce-rand", isect_fn(any_hit=True), o_rand, d_rand, BG),
+        ]
+        for tag, f, o_, d_, tm in cases:
+            tm_a = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), (n,))
+            dt = _time(f, nodes, clus, ab, o_, d_, tm_a, reps=3)
+            print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
+                  flush=True)
+
+    if args.what in ("keys", "all"):
+        # Sort-KEY experiments for incoherent bounce rays: sun shadows
+        # (spread origins, one direction) run 9.6 Mray/s while random-dir
+        # bounces run 2.7 — direction coherence shrinks packet unions more
+        # than origin coherence. Test direction-heavier keys by pre-sorting
+        # outside and tracing presorted.
+        def _morton(q, bits):
+            m = jnp.zeros(q.shape[0], jnp.int32)
+            for b in range(bits):
+                m = (
+                    m
+                    | (((q[:, 0] >> b) & 1) << (3 * b + 2))
+                    | (((q[:, 1] >> b) & 1) << (3 * b + 1))
+                    | (((q[:, 2] >> b) & 1) << (3 * b))
+                )
+            return m
+
+        @jax.jit
+        def key_parts(ab_, o_, d_):
+            inv_d = 1.0 / jnp.where(jnp.abs(d_) < 1e-12, 1e-12, d_)
+            cap = jnp.full((o_.shape[0],), BG, jnp.float32)
+            tn, want = treelets._treelet_slabs(ab_, o_, inv_d, 1e-4, cap)
+            tn_m = jnp.where(want, tn, jnp.inf)
+            near = jnp.min(tn_m, axis=1)
+            tid0 = jnp.argmin(tn_m, axis=1).astype(jnp.int32)
+            tid0 = jnp.where(jnp.isfinite(near), tid0, tt.num_treelets)
+            entry = o_ + jnp.maximum(near, 0.0)[:, None] * d_
+            lo_ = ab_[:, 0:3].min(axis=0)
+            hi_ = ab_[:, 3:6].max(axis=0)
+            pq = jnp.clip(
+                (entry - lo_) / jnp.maximum(hi_ - lo_, 1e-6) * 63.0, 0, 63
+            ).astype(jnp.int32)
+            dq = jnp.clip((d_ * 0.5 + 0.5) * 7.999, 0, 7).astype(jnp.int32)
+            return tid0, pq, dq
+
+        tid0, pq, dq = key_parts(ab, o_rand, d_rand)
+        pm18 = _morton(pq, 6)
+        pm9 = _morton(pq >> 3, 3)
+        dm9 = _morton(dq, 3)
+        dm6 = _morton(dq >> 1, 2)
+        octant = (
+            (dq[:, 0] >> 2) + 2 * (dq[:, 1] >> 2) + 4 * (dq[:, 2] >> 2)
+        )
+        # 6D interleave: alternate pos (6b) and dir (9b) morton bits.
+        six = jnp.zeros_like(pm18)
+        for b in range(9):
+            six = six | (((dm9 >> b) & 1) << (2 * b + 1))
+            six = six | (((pm9 >> b) & 1) << (2 * b))
+        # LOCAL morton: quantize the entry point inside the nearest
+        # treelet's own AABB (one-hot MXU matmul selects the row) — global
+        # 6-bit quantization only resolves ~2 bits/axis inside one treelet.
+        @jax.jit
+        def local_p18(ab_, o_, d_, tid0_):
+            oh = jax.nn.one_hot(jnp.clip(tid0_, 0, tt.num_treelets - 1),
+                                tt.num_treelets, dtype=jnp.float32)
+            ab_sel = oh @ ab_  # [N, 8] via MXU
+            lo_l, hi_l = ab_sel[:, 0:3], ab_sel[:, 3:6]
+            inv = 1.0 / jnp.where(jnp.abs(d_) < 1e-12, 1e-12, d_)
+            tnl, wantl = treelets._treelet_slabs(
+                ab_, o_, inv, 1e-4, jnp.full((o_.shape[0],), BG, jnp.float32)
+            )
+            nearl = jnp.min(jnp.where(wantl, tnl, jnp.inf), axis=1)
+            entry_l = o_ + jnp.maximum(nearl, 0.0)[:, None] * d_
+            pq_l = jnp.clip(
+                (entry_l - lo_l) / jnp.maximum(hi_l - lo_l, 1e-6) * 63.0, 0, 63
+            ).astype(jnp.int32)
+            return _morton(pq_l, 6)
+
+        pl18 = local_p18(ab, o_rand, d_rand, tid0)
+        keys = {
+            "key base t|o3|p18": (tid0 << 21) | (octant << 18) | pm18,
+            "key t|o3|LOCALp18": (tid0 << 21) | (octant << 18) | pl18,
+            "key t|LOCALp18": (tid0 << 18) | pl18,
+            "key t|d9|p17": (tid0 << 26) | (dm9 << 17) | (pm18 >> 1),
+            "key t|d6|p18": (tid0 << 24) | (dm6 << 18) | pm18,
+            "key t|p9|d9": (tid0 << 26) | (pm9 << 17) | (dm9 << 8),
+            "key t|6Dpd": (tid0 << 26) | (six << 8),
+        }
+        f_pre = isect_fn(presorted=True)
+        tm_a = jnp.full((n,), BG, jnp.float32)
+
+        @jax.jit
+        def apply_order(k, o_, d_):
+            perm = jnp.argsort(k)
+            pk = jnp.concatenate([o_, d_], axis=1)[perm]
+            return pk[:, 0:3], pk[:, 3:6]
+
+        for tag, k in keys.items():
+            o_s, d_s = apply_order(k, o_rand, d_rand)
+            dt = _time(f_pre, nodes, clus, ab, o_s, d_s, tm_a, reps=3)
+            print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
+                  flush=True)
+
+    if args.what in ("stats", "all"):
+        @jax.jit
+        def stats_fn(nt, ct, ab_, o_, d_):
+            tt2 = tt._replace(node_tables=nt, cluster_tables=ct, aabb=ab_)
+            hh, st = treelets.treelet_intersect(
+                tt2, o_, d_, sublanes=args.sublanes, stats=True
+            )
+            return st
+
+        st = np.asarray(stats_fn(nodes, clus, ab, o_rand, d_rand))
+        segs = st.shape[0]
+        print(f"bounce 2M stats over {segs} segments "
+              f"(sublanes={args.sublanes}):", flush=True)
+        tot = st.sum(0)
+        print(
+            f"  node pops/seg {tot[0]/segs:8.0f}  act {tot[2]/max(tot[0],1):.2f}/32\n"
+            f"  leaf pops/seg {tot[1]/segs:8.0f}  act {tot[3]/max(tot[1],1):.2f}/32\n"
+            f"  live steps/seg {tot[4]/segs:6.1f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
