@@ -175,6 +175,7 @@ def _kernel(
     tlas_nodes: int = 0,
     num_clusters: int = 0,
     seg: bool = False,
+    half_leaf: bool = False,
 ):
     """Packet traversal body. Two invocation shapes:
 
@@ -209,6 +210,48 @@ def _kernel(
     n_groups = max(1, min(32, sublanes // GROUP_ROWS))
     rows = sublanes // n_groups
     n_words = (n_groups + 31) // 32
+    # half_leaf: stack entries additionally carry per-SUBGROUP bits (8-row
+    # granularity; rows//8 subgroups per group) consulted ONLY at leaf pops
+    # via nested scalar pl.when — node expansion stays at ≤32 group
+    # lax.conds (64 conds there measured a 15% regression; see header). The
+    # subgroup bits come free from the same box-test vectors (min over 8
+    # rows at a time). Measured: +5-14% on every population at 512
+    # sublanes (probe_hl vs probe_rev_verify, 2026-08-17).
+    n_half = rows // GROUP_ROWS if (half_leaf and rows % GROUP_ROWS == 0) else 1
+    if n_half < 2:
+        n_half = 1
+    hw_words = (n_half * n_groups + 31) // 32 if n_half > 1 else 0
+    gs_per_word = 32 // n_half if n_half > 1 else 32  # groups per half-word
+
+    def _spread_bits(x, k, n):
+        """Spread the low k bits of x so bit i lands at bit n*i (each
+        followed by n-1 zeros), via shift-mask doubling."""
+        masks = {
+            2: (0x0000FFFF, 0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555),
+            4: (0x000000FF, 0x000F000F, 0x03030303, 0x11111111),
+        }[n]
+        shifts = {2: (8, 4, 2, 1), 4: (12, 6, 3)}[n]
+        x = x & ((1 << k) - 1)
+        x = x & masks[0]
+        for m, s in zip(masks[1:], shifts):
+            x = (x | (x << s)) & m
+        return x
+
+    def _expand_halves(gwords):
+        """Group bit-words → subgroup bit-words with ALL subgroups of every
+        active group set (conservative root/instance-push expansion)."""
+        out = []
+        for w in range(hw_words):
+            gw = gwords[(w * gs_per_word) // 32]
+            part = (gw >> (gs_per_word * (w % (32 // gs_per_word)))) & (
+                (1 << gs_per_word) - 1
+            )
+            sp = _spread_bits(part, gs_per_word, n_half)
+            full = sp
+            for h in range(1, n_half):
+                full = full | (sp << h)
+            out.append(full)
+        return out
 
     def _word_full(w):
         g_in = min(n_groups - 32 * w, 32)
@@ -230,6 +273,7 @@ def _kernel(
         it = iter(scratch)
         stack_ref = next(it)
         gbits_refs = [next(it) for _ in range(n_words)]
+        hbits_refs = [next(it) for _ in range(hw_words)]
         cbuf_ref = next(it) if clusters_hbm else None
         csem_ref = next(it) if clusters_hbm else None
         tray_ref = next(it) if two_level else None
@@ -306,6 +350,9 @@ def _kernel(
         stack_ref[0] = 0  # root
         for w in range(n_words):
             gbits_refs[w][0] = root_bits[w]
+        if n_half > 1:
+            for w, hb in enumerate(_expand_halves(root_bits)):
+                hbits_refs[w][0] = hb
 
         # The stack pointer travels in the while carry, NOT in SMEM: a loop
         # condition reading a mutated ref never terminates in interpret mode,
@@ -319,9 +366,14 @@ def _kernel(
             sp = carry["sp"] - 1
             entry = stack_ref[sp]
             mbits_w = [gbits_refs[w][sp] for w in range(n_words)]
+            hbits_w = [hbits_refs[w][sp] for w in range(hw_words)]
 
             def g_active(g):
                 return ((mbits_w[g // 32] >> (g % 32)) & 1) == 1
+
+            def h_active(g, h):
+                b = n_half * g + h
+                return ((hbits_w[b // 32] >> (b % 32)) & 1) == 1
 
             def handle_node(sp):
                 # Expand an internal node: per active sublane-group AABB
@@ -346,8 +398,10 @@ def _kernel(
                 ]
 
                 def group_keys(g):
-                    """Row-folded min-tn per child slot over group g's rays
-                    ([width, 128]; inf where the slot's box was missed)."""
+                    """Min-tn per (child slot, row-half) over group g's rays
+                    ([width, n_half, 128]; inf where the slot's box was
+                    missed). The half split is free: the same stacked
+                    reduction folds rows//n_half instead of rows."""
                     sl = slice(g * rows, (g + 1) * rows)
                     gox, goy, goz = (
                         ray_slice(0, sl), ray_slice(1, sl), ray_slice(2, sl)
@@ -378,9 +432,18 @@ def _kernel(
                             jnp.minimum(jnp.maximum(t0z, t1z), bt),
                         )
                         masked.append(jnp.where(tn <= tf, tn, jnp.inf))
-                    # Fold the row axis in one fused reduction over the
-                    # stacked [width, rows, 128] block.
-                    return jnp.min(jnp.stack(masked), axis=1)
+                    # Fold the row axis in fused reductions over stacked
+                    # [width, rows(/2), 128] blocks — one per half when
+                    # half_leaf (Mosaic rejects multi-trailing-dim
+                    # reductions, so halves stay separate 2D arrays).
+                    stackd = jnp.stack(masked)  # [width, rows, 128]
+                    if n_half == 1:
+                        return (jnp.min(stackd, axis=1),)
+                    hr = rows // n_half
+                    return tuple(
+                        jnp.min(stackd[:, h * hr : (h + 1) * hr], axis=1)
+                        for h in range(n_half)
+                    )
 
                 gvecs = []
                 for g in range(n_groups):
@@ -388,25 +451,54 @@ def _kernel(
                         jax.lax.cond(
                             g_active(g),
                             functools.partial(group_keys, g),
-                            lambda: jnp.full((width, 128), jnp.inf, jnp.float32),
+                            lambda: tuple(
+                                jnp.full((width, 128), jnp.inf, jnp.float32)
+                                for _ in range(n_half)
+                            ),
                         )
                     )
-                merged = functools.reduce(jnp.minimum, gvecs)  # [width, 128]
+                merged = functools.reduce(
+                    jnp.minimum,
+                    [functools.reduce(jnp.minimum, gv) for gv in gvecs],
+                )  # [width, 128]
                 keys_vec = jnp.min(merged, axis=1)  # [width]
                 bits_words = [
                     jnp.zeros((width,), jnp.int32) for _ in range(n_words)
                 ]
+                half_words = [
+                    jnp.zeros((width,), jnp.int32) for _ in range(hw_words)
+                ]
                 for g in range(n_groups):
-                    gfin = jnp.min(gvecs[g], axis=1) < jnp.inf  # [width]
+                    hfin = [
+                        jnp.min(gvecs[g][h], axis=1) < jnp.inf  # [width]
+                        for h in range(n_half)
+                    ]
+                    gfin = functools.reduce(jnp.logical_or, hfin)
                     bits_words[g // 32] = bits_words[g // 32] | jnp.where(
                         gfin,
                         jnp.left_shift(jnp.int32(1), jnp.int32(g % 32)),
                         0,
                     )
+                    if n_half > 1:
+                        for h in range(n_half):
+                            b = n_half * g + h
+                            half_words[b // 32] = half_words[b // 32] | (
+                                jnp.where(
+                                    hfin[h],
+                                    jnp.left_shift(
+                                        jnp.int32(1), jnp.int32(b % 32)
+                                    ),
+                                    0,
+                                )
+                            )
 
                 keys = [keys_vec[s] for s in range(width)]
                 bits = [
                     [bits_words[w][s] for w in range(n_words)]
+                    for s in range(width)
+                ]
+                hbits = [
+                    [half_words[w][s] for w in range(hw_words)]
                     for s in range(width)
                 ]
                 codes_l = list(slot_codes)
@@ -430,6 +522,10 @@ def _kernel(
                             bits[a][w], bits[b][w] = pick(
                                 bits[a][w], bits[b][w]
                             )
+                        for w in range(hw_words):
+                            hbits[a][w], hbits[b][w] = pick(
+                                hbits[a][w], hbits[b][w]
+                            )
 
                 # Compacted branch-free pushes: slot s lands at
                 # sp + (#takes before s), clamped to the (build-sized) stack.
@@ -438,13 +534,16 @@ def _kernel(
                     code = codes_l[s]
                     take = takes[s]
                     bit = bits[s]
+                    hbit = hbits[s]
                     pos = jnp.minimum(sp + pushed, stack - 1)
 
                     @pl.when(take)
-                    def _(code=code, bit=bit, pos=pos):
+                    def _(code=code, bit=bit, hbit=hbit, pos=pos):
                         stack_ref[pos] = code.astype(jnp.int32)
                         for w in range(n_words):
                             gbits_refs[w][pos] = bit[w]
+                        for w in range(hw_words):
+                            hbits_refs[w][pos] = hbit[w]
 
                     pushed = pushed + take.astype(jnp.int32)
 
@@ -563,7 +662,20 @@ def _kernel(
                     # save. Group bits alone carry the work skipping.)
                     @pl.when(g_active(g))
                     def _(g=g):
-                        moller_block(tris, slice(g * rows, (g + 1) * rows))
+                        if n_half == 1:
+                            moller_block(
+                                tris, slice(g * rows, (g + 1) * rows)
+                            )
+                        else:
+                            # Half-group predication: the bits were computed
+                            # at push time (free vector split), so this is a
+                            # pure scalar SMEM test — no VPU drain.
+                            hr = rows // n_half
+                            for h in range(n_half):
+                                @pl.when(h_active(g, h))
+                                def _(g=g, h=h):
+                                    lo = g * rows + h * hr
+                                    moller_block(tris, slice(lo, lo + hr))
 
                 return sp
 
@@ -628,6 +740,8 @@ def _kernel(
                         stack_ref[pos] = irow[12].astype(jnp.int32)  # blas root
                         for w in range(n_words):
                             gbits_refs[w][pos] = mbits_w[w]
+                        for w in range(hw_words):
+                            hbits_refs[w][pos] = hbits_w[w]
                         return jnp.minimum(sp + 1, stack), inst
 
                     return jax.lax.cond(
@@ -687,7 +801,7 @@ def _kernel(
             stats_ref[pid, 3] = st[3]  # leaf group activations
 
     shapes = [pltpu.SMEM((stack,), jnp.int32)] + [
-        pltpu.SMEM((stack,), jnp.int32) for _ in range(n_words)
+        pltpu.SMEM((stack,), jnp.int32) for _ in range(n_words + hw_words)
     ]
     if clusters_hbm:
         shapes.append(pltpu.VMEM((1, clusters_ref.shape[1]), jnp.float32))
@@ -708,6 +822,7 @@ def packet_intersect(
     sublanes: int = PACKET_SUBLANES,
     stats: bool = False,
     clusters_hbm: bool = False,
+    half_leaf: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the packet kernel. N is padded to a multiple
     of PACKET; callers should order rays coherently (tiles / sorted queues).
@@ -738,7 +853,7 @@ def packet_intersect(
         _kernel, leaf_size=pt.leaf_size, any_hit=any_hit, t_min=t_min,
         width=pt.width, stack=stack, stats=stats, clusters_hbm=clusters_hbm,
         two_level=two_level, tlas_nodes=pt.tlas_nodes,
-        num_clusters=pt.num_clusters,
+        num_clusters=pt.num_clusters, half_leaf=half_leaf,
     )
     # Explicit HBM (not ANY): the compiler may otherwise place wide cluster
     # tables in VMEM, where 1-row DMA slices hit sublane-tiling limits.
@@ -810,6 +925,7 @@ def packet_intersect_segments(
     interpret: bool = False,
     sublanes: int = 64,
     stats: bool = False,
+    half_leaf: bool = False,
 ) -> jax.Array:
     """Segment-grid packet traversal over per-treelet tables (see
     ops/treelets.py driver + _kernel docstring). Returns [4, S*p] rows
@@ -834,6 +950,7 @@ def packet_intersect_segments(
     kernel = functools.partial(
         _kernel, leaf_size=tt.leaf_size, any_hit=any_hit, t_min=t_min,
         width=tt.width, stack=stack, seg=True, stats=stats,
+        half_leaf=half_leaf,
     )
     row_len = tt.node_tables.shape[2]
     lane = tt.cluster_tables.shape[2]

@@ -198,6 +198,7 @@ def _run_segments(
     sublanes: int,
     e_cap=None,
     stats: bool = False,
+    half_leaf: bool = False,
 ):
     """Segment metadata + kernel launch: per-segment near-first candidate
     lists (sentinel slots repeat the last valid id so Pallas keeps the
@@ -252,7 +253,7 @@ def _run_segments(
     return tk.packet_intersect_segments(
         tt, seg_list, seg_gmask, o, d, cap,
         t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
-        stats=stats,
+        stats=stats, half_leaf=half_leaf,
     )
 
 
@@ -269,6 +270,7 @@ def treelet_intersect(
     sort_chunk: int = 1,
     e_cap=None,
     stats: bool = False,
+    half_leaf: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
 
@@ -344,7 +346,7 @@ def treelet_intersect(
     out = _run_segments(
         tt, o, d, cap, want_s, tn_s,
         t_min=t_min, any_hit=any_hit, interpret=interpret,
-        sublanes=sublanes, e_cap=e_cap, stats=stats,
+        sublanes=sublanes, e_cap=e_cap, stats=stats, half_leaf=half_leaf,
     )
     if stats:
         out, stat_rows = out
@@ -567,6 +569,7 @@ def treelet_backend(
     host_tris=None,
     shadow_chunk: int = 1,
     primary_presorted: bool = True,
+    half_leaf: bool = True,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
     arguments (ops/backend.py).
@@ -575,7 +578,9 @@ def treelet_backend(
     (chunked sorting measured negative everywhere, see treelet_intersect).
     primary_presorted: skip the driver sort on the primary trace (tile-
     swizzled primaries are already packet-coherent, render/wavefront.py;
-    measured 27.4 vs 20.6 Mray/s at 2M rays)."""
+    measured 27.4 vs 20.6 Mray/s at 2M rays).
+    half_leaf: 8-row subgroup leaf predication (measured +5-14% on every
+    population at 512 sublanes; tools/probe_r3.py --what halfleaf)."""
     from raytracer3_tpu.ops.backend import TraceBackend
 
     if host_tris is not None:
@@ -601,19 +606,21 @@ def treelet_backend(
 
     def isect_fn(arrays, o, d):
         return treelet_intersect(
-            _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes
+            _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
+            half_leaf=half_leaf,
         )
 
     def occl_fn(arrays, o, d, tmax):
         return treelet_intersect(
             _rebind(arrays), o, d, t_max=tmax, any_hit=True,
             interpret=interpret, sublanes=sublanes, sort_chunk=shadow_chunk,
+            half_leaf=half_leaf,
         ).hit
 
     def primary_fn(arrays, o, d):
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
-            presorted=primary_presorted,
+            presorted=primary_presorted, half_leaf=half_leaf,
         )
 
     return TraceBackend(

@@ -149,6 +149,38 @@ class TestAnyHit:
         assert not np.asarray(got.hit).any()
 
 
+class TestHalfLeaf:
+    @pytest.mark.slow
+    def test_half_leaf_matches_base_at_512_sublanes(self):
+        # n_half = rows // 8 only exceeds 1 at >=512 sublanes (32 groups x
+        # 16 rows); the subgroup leaf predication must be bit-identical to
+        # the plain path — it may only SKIP Moller blocks whose 8-row
+        # subgroup missed every pushed box, never change results.
+        rng = np.random.default_rng(0)
+        n_tri = 120
+        c = rng.uniform(-3, 3, (n_tri, 3)).astype(np.float32)
+        v0 = c
+        v1 = c + rng.normal(0, 0.5, (n_tri, 3)).astype(np.float32)
+        v2 = c + rng.normal(0, 0.5, (n_tri, 3)).astype(np.float32)
+        pt = _tables(v0, v1, v2)
+        n = 512 * 128
+        o = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        a = tk.packet_intersect(
+            pt, o, d, interpret=True, sublanes=512, half_leaf=True
+        )
+        b = tk.packet_intersect(
+            pt, o, d, interpret=True, sublanes=512, half_leaf=False
+        )
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        np.testing.assert_array_equal(
+            np.asarray(a.prim_id), np.asarray(b.prim_id)
+        )
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+
+
 class TestHbmClusters:
     def test_hbm_mode_matches_vmem(self, cornell):
         # Sponza-scale scenes keep the cluster table in HBM with per-leaf

@@ -91,13 +91,15 @@ def main():
     d_mix = jnp.where(use_sun[:, None], d_sun, d_point)
     t_mix = jnp.where(use_sun, 100.0, dist[:, 0] * 0.999)
 
-    def isect_fn(presorted=False, chunk=1, any_hit=False, per_ray_t=False):
+    def isect_fn(presorted=False, chunk=1, any_hit=False, per_ray_t=False,
+                 half_leaf=False):
         @jax.jit
         def f(nt, ct, ab_, o_, d_, tm):
             tt2 = tt._replace(node_tables=nt, cluster_tables=ct, aabb=ab_)
             hh = treelets.treelet_intersect(
                 tt2, o_, d_, t_max=tm, any_hit=any_hit,
                 sublanes=args.sublanes, presorted=presorted, sort_chunk=chunk,
+                half_leaf=half_leaf,
             )
             return jnp.sum(hh.t) + jnp.sum(hh.prim_id)
 
@@ -126,6 +128,54 @@ def main():
             dt = _time(f, nodes, clus, ab, o_, d_, tm_a, reps=3)
             print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
                   flush=True)
+
+    if args.what == "halfleaf":
+        # Half-group (8-row) leaf predication A/B on every population.
+        cases = [
+            ("primary presorted HL", isect_fn(presorted=True, half_leaf=True),
+             o_tile, d_tile, BG),
+            ("bounce sorted HL", isect_fn(half_leaf=True), o_rand, d_rand, BG),
+            ("occl sun HL", isect_fn(any_hit=True, half_leaf=True),
+             o_rand, d_sun, 100.0),
+            ("occl mix HL", isect_fn(any_hit=True, half_leaf=True),
+             o_rand, d_mix, t_mix),
+        ]
+        for tag, f, o_, d_, tm in cases:
+            tm_a = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), (n,))
+            dt = _time(f, nodes, clus, ab, o_, d_, tm_a, reps=3)
+            print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
+                  flush=True)
+
+    if args.what == "shadowsplit":
+        # One mixed any-hit call vs two calls with the other half parked
+        # (t_cap = 0). Parked lanes sort to the segment tail with gmask 0,
+        # so each split call should approach its pure population's speed.
+        f = isect_fn(any_hit=True)
+        tm_mix = jnp.asarray(t_mix, jnp.float32)
+        dt = _time(f, nodes, clus, ab, o_rand, d_mix, tm_mix, reps=3)
+        print(f"{'occl mix one-call':24s}: {dt*1e3:8.1f} ms  "
+              f"{n/dt/1e6:6.2f} Mray/s", flush=True)
+
+        tm_sun = jnp.where(use_sun, 100.0, 0.0).astype(jnp.float32)
+        tm_pt = jnp.where(use_sun, 0.0, t_mix).astype(jnp.float32)
+
+        @jax.jit
+        def split(nt, ct, ab_, o_, dsun, dpt, tms, tmp):
+            tt2 = tt._replace(node_tables=nt, cluster_tables=ct, aabb=ab_)
+            h1 = treelets.treelet_intersect(
+                tt2, o_, dsun, t_max=tms, any_hit=True,
+                sublanes=args.sublanes,
+            )
+            h2 = treelets.treelet_intersect(
+                tt2, o_, dpt, t_max=tmp, any_hit=True,
+                sublanes=args.sublanes,
+            )
+            return jnp.sum(h1.t) + jnp.sum(h2.t)
+
+        dt = _time(split, nodes, clus, ab, o_rand, d_sun, d_point,
+                   tm_sun, tm_pt, reps=3)
+        print(f"{'occl split two-call':24s}: {dt*1e3:8.1f} ms  "
+              f"{n/dt/1e6:6.2f} Mray/s (live rays = n/2 each)", flush=True)
 
     if args.what in ("drivers", "all"):
         cases = [

@@ -24,11 +24,22 @@ from raytracer3_tpu.utils.config import RenderSettings
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--detail", type=int, default=2)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/verify_r3.png")
+    args = ap.parse_args()
+
     runtime.init_compilation_cache()
-    w = h = 512
-    frames = 8
-    scene, host = procedural.atrium_scene(detail=2, return_host=True)
+    w = h = args.size
+    frames = args.frames
+    scene, host = procedural.atrium_scene(detail=args.detail, return_host=True)
     cam = procedural.atrium_camera(aspect=w / h)
+    # packet_backend auto-routes: VMEM whole-tree for small scenes,
+    # treelet segment grid for Sponza-scale (detail >= ~6).
     backend = tk.packet_backend(scene, host_tris=host)
     settings = RenderSettings(width=w, height=h, bounces=4)
     isect, occl = backend.bind(backend.arrays)
@@ -51,8 +62,8 @@ def main():
         print(f"frame {fi}: traced {n} rays "
               f"({time.perf_counter()-t0:.1f}s cum)", flush=True)
     img = postprocess.postprocess(film.accum)
-    image_mod.write_png("/tmp/verify_r3.png", img)
-    print("wrote /tmp/verify_r3.png", flush=True)
+    image_mod.write_png(args.out, img)
+    print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":
