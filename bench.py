@@ -92,6 +92,10 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces, n_frames=3):
             measured_rays / n_frames / (width * height), 2
         ),
         "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 4),
+        # Ideal 8-chip tile-parallel projection (parallel/mesh.py shards
+        # image rows with replicated tables; dryrun_multichip validates the
+        # sharding compiles/executes — no real v5e-8 is reachable here).
+        "projected_v5e8_fps": round(8.0 / dt, 2),
     }
 
 

@@ -176,6 +176,7 @@ def _kernel(
     num_clusters: int = 0,
     seg: bool = False,
     half_leaf: bool = False,
+    div_free: bool = False,
 ):
     """Packet traversal body. Two invocation shapes:
 
@@ -599,42 +600,94 @@ def _kernel(
                     if two_level:
                         binst = out_ref[0, 4, sl]
                         hit_any = jnp.zeros_like(bt, dtype=jnp.bool_)
-                    for (
-                        v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, tid
-                    ) in tris:
-                        # pvec = d × e2
-                        px_ = gdy * e2z - gdz * e2y
-                        py_ = gdz * e2x - gdx * e2z
-                        pz_ = gdx * e2y - gdy * e2x
-                        det = e1x * px_ + e1y * py_ + e1z * pz_
-                        inv_det = jnp.where(
-                            jnp.abs(det) > 1e-9, 1.0 / det, 0.0
-                        )
-                        tx = gox - v0x
-                        ty = goy - v0y
-                        tz = goz - v0z
-                        uu = (tx * px_ + ty * py_ + tz * pz_) * inv_det
-                        # qvec = tvec × e1
-                        qx = ty * e1z - tz * e1y
-                        qy = tz * e1x - tx * e1z
-                        qz = tx * e1y - ty * e1x
-                        vv = (gdx * qx + gdy * qy + gdz * qz) * inv_det
-                        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                        ok = (
-                            (jnp.abs(det) > 1e-9)
-                            & (uu >= 0.0)
-                            & (vv >= 0.0)
-                            & (uu + vv <= 1.0)
-                            & (tt > t_min)
-                            & (tt < bt)
-                            & (tid >= 0.0)
-                        )
-                        bt = jnp.where(ok, tt, bt)
-                        bu = jnp.where(ok, uu, bu)
-                        bv = jnp.where(ok, vv, bv)
-                        bid = jnp.where(ok, tid, bid)
+                    if div_free:
+                        # Division-free Möller: track the block-best hit as
+                        # a (numerator, |det|) pair — sign-corrected so all
+                        # comparisons are cross-multiplications — and divide
+                        # ONCE per block instead of once per triangle (the
+                        # VPU divide is the most expensive op in the loop).
+                        # Entry best t folds in as the pair (bt, 1).
+                        bnum = bt
+                        bden = jnp.ones_like(bt)
+                        bu2 = bu
+                        bv2 = bv
+                        changed = jnp.zeros_like(bt, dtype=jnp.bool_)
+                        for (
+                            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, tid
+                        ) in tris:
+                            px_ = gdy * e2z - gdz * e2y
+                            py_ = gdz * e2x - gdx * e2z
+                            pz_ = gdx * e2y - gdy * e2x
+                            det = e1x * px_ + e1y * py_ + e1z * pz_
+                            sd = jnp.where(det < 0.0, -1.0, 1.0)
+                            adet = det * sd
+                            tx = gox - v0x
+                            ty = goy - v0y
+                            tz = goz - v0z
+                            u2 = (tx * px_ + ty * py_ + tz * pz_) * sd
+                            qx = ty * e1z - tz * e1y
+                            qy = tz * e1x - tx * e1z
+                            qz = tx * e1y - ty * e1x
+                            v2 = (gdx * qx + gdy * qy + gdz * qz) * sd
+                            t2 = (e2x * qx + e2y * qy + e2z * qz) * sd
+                            ok = (
+                                (adet > 1e-9)
+                                & (u2 >= 0.0)
+                                & (v2 >= 0.0)
+                                & (u2 + v2 <= adet)
+                                & (t2 > t_min * adet)
+                                & (t2 * bden < bnum * adet)
+                                & (tid >= 0.0)
+                            )
+                            bnum = jnp.where(ok, t2, bnum)
+                            bden = jnp.where(ok, adet, bden)
+                            bu2 = jnp.where(ok, u2, bu2)
+                            bv2 = jnp.where(ok, v2, bv2)
+                            bid = jnp.where(ok, tid, bid)
+                            changed = changed | ok
+                        inv = 1.0 / bden
+                        bt = jnp.where(changed, bnum * inv, bt)
+                        bu = jnp.where(changed, bu2 * inv, bu)
+                        bv = jnp.where(changed, bv2 * inv, bv)
                         if two_level:
-                            hit_any = hit_any | ok
+                            hit_any = changed
+                    else:
+                        for (
+                            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, tid
+                        ) in tris:
+                            # pvec = d × e2
+                            px_ = gdy * e2z - gdz * e2y
+                            py_ = gdz * e2x - gdx * e2z
+                            pz_ = gdx * e2y - gdy * e2x
+                            det = e1x * px_ + e1y * py_ + e1z * pz_
+                            inv_det = jnp.where(
+                                jnp.abs(det) > 1e-9, 1.0 / det, 0.0
+                            )
+                            tx = gox - v0x
+                            ty = goy - v0y
+                            tz = goz - v0z
+                            uu = (tx * px_ + ty * py_ + tz * pz_) * inv_det
+                            # qvec = tvec × e1
+                            qx = ty * e1z - tz * e1y
+                            qy = tz * e1x - tx * e1z
+                            qz = tx * e1y - ty * e1x
+                            vv = (gdx * qx + gdy * qy + gdz * qz) * inv_det
+                            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                            ok = (
+                                (jnp.abs(det) > 1e-9)
+                                & (uu >= 0.0)
+                                & (vv >= 0.0)
+                                & (uu + vv <= 1.0)
+                                & (tt > t_min)
+                                & (tt < bt)
+                                & (tid >= 0.0)
+                            )
+                            bt = jnp.where(ok, tt, bt)
+                            bu = jnp.where(ok, uu, bu)
+                            bv = jnp.where(ok, vv, bv)
+                            bid = jnp.where(ok, tid, bid)
+                            if two_level:
+                                hit_any = hit_any | ok
                     out_ref[0, 0, sl] = bt
                     out_ref[0, 1, sl] = bu
                     out_ref[0, 2, sl] = bv
@@ -823,6 +876,7 @@ def packet_intersect(
     stats: bool = False,
     clusters_hbm: bool = False,
     half_leaf: bool = False,
+    div_free: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the packet kernel. N is padded to a multiple
     of PACKET; callers should order rays coherently (tiles / sorted queues).
@@ -854,6 +908,7 @@ def packet_intersect(
         width=pt.width, stack=stack, stats=stats, clusters_hbm=clusters_hbm,
         two_level=two_level, tlas_nodes=pt.tlas_nodes,
         num_clusters=pt.num_clusters, half_leaf=half_leaf,
+        div_free=div_free,
     )
     # Explicit HBM (not ANY): the compiler may otherwise place wide cluster
     # tables in VMEM, where 1-row DMA slices hit sublane-tiling limits.
@@ -926,6 +981,7 @@ def packet_intersect_segments(
     sublanes: int = 64,
     stats: bool = False,
     half_leaf: bool = False,
+    div_free: bool = False,
 ) -> jax.Array:
     """Segment-grid packet traversal over per-treelet tables (see
     ops/treelets.py driver + _kernel docstring). Returns [4, S*p] rows
@@ -950,7 +1006,7 @@ def packet_intersect_segments(
     kernel = functools.partial(
         _kernel, leaf_size=tt.leaf_size, any_hit=any_hit, t_min=t_min,
         width=tt.width, stack=stack, seg=True, stats=stats,
-        half_leaf=half_leaf,
+        half_leaf=half_leaf, div_free=div_free,
     )
     row_len = tt.node_tables.shape[2]
     lane = tt.cluster_tables.shape[2]

@@ -199,6 +199,7 @@ def _run_segments(
     e_cap=None,
     stats: bool = False,
     half_leaf: bool = False,
+    div_free: bool = False,
 ):
     """Segment metadata + kernel launch: per-segment near-first candidate
     lists (sentinel slots repeat the last valid id so Pallas keeps the
@@ -253,7 +254,7 @@ def _run_segments(
     return tk.packet_intersect_segments(
         tt, seg_list, seg_gmask, o, d, cap,
         t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
-        stats=stats, half_leaf=half_leaf,
+        stats=stats, half_leaf=half_leaf, div_free=div_free,
     )
 
 
@@ -271,6 +272,7 @@ def treelet_intersect(
     e_cap=None,
     stats: bool = False,
     half_leaf: bool = False,
+    div_free: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
 
@@ -347,10 +349,16 @@ def treelet_intersect(
         tt, o, d, cap, want_s, tn_s,
         t_min=t_min, any_hit=any_hit, interpret=interpret,
         sublanes=sublanes, e_cap=e_cap, stats=stats, half_leaf=half_leaf,
+        div_free=div_free,
     )
     if stats:
         out, stat_rows = out
 
+    # NOTE: do NOT slice the any-hit output to one row before the unsort —
+    # measured 3-6% SLOWER (occl sun 10.14→9.86, mix 6.09→5.73 Mray/s):
+    # the [4, N] gather amortizes its index work across rows (≈ the cost of
+    # a [1, N] gather), while the row-slice of the kernel output forces a
+    # sublane relayout copy at 2M rays.
     if order is not None:
         if sort_chunk > 1:
             g = sort_chunk
@@ -570,6 +578,7 @@ def treelet_backend(
     shadow_chunk: int = 1,
     primary_presorted: bool = True,
     half_leaf: bool = True,
+    div_free: bool = False,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
     arguments (ops/backend.py).
@@ -607,20 +616,21 @@ def treelet_backend(
     def isect_fn(arrays, o, d):
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
-            half_leaf=half_leaf,
+            half_leaf=half_leaf, div_free=div_free,
         )
 
     def occl_fn(arrays, o, d, tmax):
         return treelet_intersect(
             _rebind(arrays), o, d, t_max=tmax, any_hit=True,
             interpret=interpret, sublanes=sublanes, sort_chunk=shadow_chunk,
-            half_leaf=half_leaf,
+            half_leaf=half_leaf, div_free=div_free,
         ).hit
 
     def primary_fn(arrays, o, d):
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
             presorted=primary_presorted, half_leaf=half_leaf,
+            div_free=div_free,
         )
 
     return TraceBackend(
