@@ -32,7 +32,8 @@ import jax.numpy as jnp
 BASELINE_MRAYS_PER_CHIP = 1920 * 1088 * 5 * 30 / 8 / 1e6  # ~= 39.17
 
 
-def run_config(tag, scene, host_tris, cam, width, height, bounces, n_frames=3):
+def run_config(tag, scene, host_tris, cam, width, height, bounces,
+               n_frames=3, samples=1):
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
     from raytracer3_tpu.ops import rng as rng_mod
     from raytracer3_tpu.render import film as film_mod
@@ -40,9 +41,13 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces, n_frames=3):
     from raytracer3_tpu.utils.config import RenderSettings
 
     backend = tk.packet_backend(host_tris=host_tris)
+    # samples > 1 batches all paths into ONE wavefront of samples*W*H lanes
+    # (render/wavefront.py sample_batch): denser populations sort into purer
+    # packets (+28% bounce Mray/s at 4x density) and per-launch driver cost
+    # amortizes. One frame then advances the film by `samples` spp.
     settings = RenderSettings(
-        width=width, height=height, bounces=bounces, samples=1,
-        radiance_clamp=50.0,
+        width=width, height=height, bounces=bounces, samples=samples,
+        sample_batch=samples > 1, radiance_clamp=50.0,
     )
     blue_noise = jnp.asarray(rng_mod.generate_blue_noise(64))
 
@@ -75,7 +80,7 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces, n_frames=3):
     # shadow. The *measured* count (alive lanes actually traced, from
     # render_frame's meter) is the honest Mray/s numerator — Russian
     # roulette and escaped lanes make it smaller.
-    rays_per_pixel = 1 + bounces + bounces
+    rays_per_pixel = (1 + bounces + bounces) * samples
     mrays_nominal = width * height * rays_per_pixel / dt / 1e6
     mrays = measured_rays / n_frames / dt / 1e6
     return {
@@ -83,6 +88,7 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces, n_frames=3):
         "width": width,
         "height": height,
         "bounces": bounces,
+        "samples_per_frame": samples,
         "tris": int(host_tris[0].shape[0]),
         "frame_ms": round(dt * 1e3, 1),
         "fps": round(1.0 / dt, 2),
@@ -180,11 +186,16 @@ def main() -> None:
     big_scene, big_tris = sponza_world_scene(detail=8)
     cam720 = procedural.atrium_camera(aspect=1280 / 720)
     results.append(
-        run_config("sponza720", big_scene, big_tris, cam720, 1280, 720, 2)
+        run_config(
+            "sponza720", big_scene, big_tris, cam720, 1280, 720, 2, samples=4
+        )
     )
     cam1080 = procedural.atrium_camera(aspect=1920 / 1088)
     results.append(
-        run_config("sponza1080", big_scene, big_tris, cam1080, 1920, 1088, 4)
+        run_config(
+            "sponza1080", big_scene, big_tris, cam1080, 1920, 1088, 4,
+            samples=4,
+        )
     )
 
     with open("BENCH_DETAILS.json", "w") as f:

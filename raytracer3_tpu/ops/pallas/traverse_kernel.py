@@ -265,8 +265,12 @@ def _kernel(
         # Grid position + this step's group-mask words, read OUTSIDE
         # run_scoped (program_id is unavailable inside the scoped discharge).
         seg_e = pl.program_id(1)
+        # gmask travels flattened [S, E*W]: SMEM pads the LAST dim to 128
+        # lanes, so a [S, E, 1] layout would burn 128x the SMEM (measured:
+        # 1 MB -> scalar-prefetch OOM at 128 segments / 8.4M rays).
         seg_gm = [
-            sgm_ref[pl.program_id(0), seg_e, w] for w in range(n_words)
+            sgm_ref[pl.program_id(0), seg_e * n_words + w]
+            for w in range(n_words)
         ]
         seg_srow = jax.lax.rem(pl.program_id(0), 8) if stats else None
 
@@ -995,6 +999,9 @@ def packet_intersect_segments(
     p = sublanes * 128
     n = origins.shape[0]
     assert n == s_count * p, (n, s_count, p)
+    # Flatten [S, E, W] -> [S, E*W]: SMEM pads the last dim to 128 lanes,
+    # so the 3D layout costs 128x the SMEM with W=1 (OOM at ~128 segments).
+    seg_gmask = seg_gmask.reshape(s_count, -1)
 
     o, d = origins, directions
     rays = jnp.stack(

@@ -37,6 +37,12 @@ class RenderSettings:
     # 65° at 1088 rows ≈ 0.00104). Only read when the scene carries a mip
     # atlas (scene/textures.py).
     tex_cone_angle: float = 0.00104
+    # Trace all `samples` paths in ONE wavefront of samples·W·H lanes
+    # instead of a sequential per-sample loop. Denser ray populations sort
+    # into purer traversal packets — measured +28% bounce Mray/s at 4x
+    # density on Sponza-scale (tools/probe_r3.py --what density) — at the
+    # cost of samples× the queue memory. No effect when samples == 1.
+    sample_batch: bool = False
 
     @property
     def n_pixels(self) -> int:

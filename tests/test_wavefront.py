@@ -220,3 +220,39 @@ class TestTileSwizzle:
         a = self._render(100, 64, True)
         b = self._render(100, 64, False)
         np.testing.assert_array_equal(a, b)
+
+
+class TestSampleBatch:
+    def test_batched_samples_match_sequential_loop(self):
+        # sample_batch concatenates all samples into ONE wavefront; per-lane
+        # math is identical (same per-sample seeds), so the result must be
+        # exactly the sequential per-sample loop's. (The knob exists because
+        # denser ray populations sort into purer traversal packets — +28%
+        # bounce Mray/s at 4x density on Sponza-scale, docs/ROADMAP.md.)
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from raytracer3_tpu.ops import intersect as isect_mod
+        from raytracer3_tpu.render import wavefront
+        from raytracer3_tpu.scene import analytic
+        from raytracer3_tpu.utils.config import RenderSettings
+
+        scene = analytic.cornell_box()
+        cam = analytic.default_camera()
+        backend = isect_mod.brute_backend(scene=scene)
+        isect, occl = backend.bind(backend.arrays)
+        s_loop = RenderSettings(
+            width=32, height=32, bounces=3, samples=2, diffuse_only=True
+        )
+        s_batch = dataclasses.replace(s_loop, sample_batch=True)
+        a, ta = wavefront.render_frame(
+            scene, cam, s_loop, jnp.uint32(3), isect, occl, return_stats=True
+        )
+        b, tb = wavefront.render_frame(
+            scene, cam, s_batch, jnp.uint32(3), isect, occl, return_stats=True
+        )
+        assert int(ta) == int(tb)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )

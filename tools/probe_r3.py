@@ -168,6 +168,24 @@ def main():
             print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
                   flush=True)
 
+    if args.what == "density":
+        # Does bounce throughput rise with ray DENSITY? 2x/4x rays over the
+        # same domain -> more rays per morton cell -> purer groups -> fewer
+        # pops per ray. If it scales, sample-batched frames are a lever.
+        f = isect_fn(half_leaf=True)
+        for mult in (4, 8):
+            nn = n * mult
+            kq = jax.random.split(jax.random.PRNGKey(17 + mult), 2)
+            o_m = jax.random.uniform(
+                kq[0], (nn, 3), minval=jnp.asarray(lo), maxval=jnp.asarray(hi)
+            )
+            d_m = jax.random.normal(kq[1], (nn, 3))
+            d_m = d_m / jnp.linalg.norm(d_m, axis=1, keepdims=True)
+            tm_a = jnp.full((nn,), BG, jnp.float32)
+            dt = _time(f, nodes, clus, ab, o_m, d_m, tm_a, reps=3)
+            print(f"bounce x{mult:<2d} ({nn/1e6:.1f}M)   : {dt*1e3:8.1f} ms  "
+                  f"{nn/dt/1e6:6.2f} Mray/s", flush=True)
+
     if args.what == "shadowsplit":
         # One mixed any-hit call vs two calls with the other half parked
         # (t_cap = 0). Parked lanes sort to the segment tail with gmask 0,
