@@ -92,6 +92,9 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces,
         "tris": int(host_tris[0].shape[0]),
         "frame_ms": round(dt * 1e3, 1),
         "fps": round(1.0 / dt, 2),
+        # Progressive convergence rate: samples-per-pixel per second. The
+        # honest cross-config speed measure once frames batch >1 spp.
+        "spp_per_s": round(samples / dt, 2),
         "mrays_per_s_per_chip": round(mrays, 3),
         "nominal_mrays_per_s_per_chip": round(mrays_nominal, 3),
         "measured_rays_per_pixel": round(

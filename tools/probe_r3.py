@@ -173,9 +173,10 @@ def main():
         # same domain -> more rays per morton cell -> purer groups -> fewer
         # pops per ray. If it scales, sample-batched frames are a lever.
         f = isect_fn(half_leaf=True)
+        fo = isect_fn(any_hit=True, half_leaf=True)
         for mult in (4, 8):
             nn = n * mult
-            kq = jax.random.split(jax.random.PRNGKey(17 + mult), 2)
+            kq = jax.random.split(jax.random.PRNGKey(17 + mult), 4)
             o_m = jax.random.uniform(
                 kq[0], (nn, 3), minval=jnp.asarray(lo), maxval=jnp.asarray(hi)
             )
@@ -184,6 +185,16 @@ def main():
             tm_a = jnp.full((nn,), BG, jnp.float32)
             dt = _time(f, nodes, clus, ab, o_m, d_m, tm_a, reps=3)
             print(f"bounce x{mult:<2d} ({nn/1e6:.1f}M)   : {dt*1e3:8.1f} ms  "
+                  f"{nn/dt/1e6:6.2f} Mray/s", flush=True)
+            # Mixed shadow population at the same density (sun/point 50:50).
+            to_lm = lights[jax.random.randint(kq[2], (nn,), 0, 4)] - o_m
+            dist_m = jnp.linalg.norm(to_lm, axis=1, keepdims=True)
+            d_pm = to_lm / jnp.maximum(dist_m, 1e-6)
+            sun_m = jax.random.uniform(kq[3], (nn,)) < 0.5
+            d_mixm = jnp.where(sun_m[:, None], jnp.broadcast_to(sun, (nn, 3)), d_pm)
+            t_mixm = jnp.where(sun_m, 100.0, dist_m[:, 0] * 0.999)
+            dt = _time(fo, nodes, clus, ab, o_m, d_mixm, t_mixm, reps=3)
+            print(f"occlmix x{mult:<2d} ({nn/1e6:.1f}M)  : {dt*1e3:8.1f} ms  "
                   f"{nn/dt/1e6:6.2f} Mray/s", flush=True)
 
     if args.what == "shadowsplit":
