@@ -177,6 +177,7 @@ def _kernel(
     seg: bool = False,
     half_leaf: bool = False,
     div_free: bool = False,
+    rank_push: bool = False,
 ):
     """Packet traversal body. Two invocation shapes:
 
@@ -510,6 +511,45 @@ def _kernel(
                 takes = [
                     (keys[s] < jnp.inf) & slot_real[s] for s in range(width)
                 ]
+
+                if rank_push:
+                    # Vectorized rank-select ordering: each taken slot's push
+                    # position is sp + its rank in descending-key order
+                    # (far-first, so the nearest child still pops first) —
+                    # one [width, width] comparison matrix + a column sum
+                    # replaces the Batcher network's ~63×12 serialized scalar
+                    # selects at width 16. Any-hit ranks by slot index (no
+                    # ordering needed, matching the sort-skipping path).
+                    codes_vec = row[6 * width : 7 * width]
+                    real_vec = jnp.abs(codes_vec + 1.0) > 0.25
+                    take_vec = (keys_vec < jnp.inf) & real_vec
+                    idx_lt = (
+                        jax.lax.broadcasted_iota(jnp.int32, (width, width), 0)
+                        < jax.lax.broadcasted_iota(
+                            jnp.int32, (width, width), 1
+                        )
+                    )  # j (row) precedes s (col)
+                    if any_hit:
+                        before = idx_lt
+                    else:
+                        kc = keys_vec[:, None]
+                        kr = keys_vec[None, :]
+                        before = (kc > kr) | ((kc == kr) & idx_lt)
+                    m = take_vec[:, None] & before
+                    rank = jnp.sum(m.astype(jnp.int32), axis=0)  # [width]
+                    pushed = jnp.sum(take_vec.astype(jnp.int32))
+                    for s in range(width):
+                        pos = jnp.minimum(sp + rank[s], stack - 1)
+
+                        @pl.when(takes[s])
+                        def _(s=s, pos=pos):
+                            stack_ref[pos] = slot_codes[s].astype(jnp.int32)
+                            for w in range(n_words):
+                                gbits_refs[w][pos] = bits[s][w]
+                            for w in range(hw_words):
+                                hbits_refs[w][pos] = hbits[s][w]
+
+                    return jnp.minimum(sp + pushed, stack)
 
                 # Scalar sort (descending key): push far-first so the nearest
                 # child pops first. Any-hit queries skip the ordering.
@@ -881,6 +921,7 @@ def packet_intersect(
     clusters_hbm: bool = False,
     half_leaf: bool = False,
     div_free: bool = False,
+    rank_push: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the packet kernel. N is padded to a multiple
     of PACKET; callers should order rays coherently (tiles / sorted queues).
@@ -912,7 +953,7 @@ def packet_intersect(
         width=pt.width, stack=stack, stats=stats, clusters_hbm=clusters_hbm,
         two_level=two_level, tlas_nodes=pt.tlas_nodes,
         num_clusters=pt.num_clusters, half_leaf=half_leaf,
-        div_free=div_free,
+        div_free=div_free, rank_push=rank_push,
     )
     # Explicit HBM (not ANY): the compiler may otherwise place wide cluster
     # tables in VMEM, where 1-row DMA slices hit sublane-tiling limits.
@@ -986,6 +1027,7 @@ def packet_intersect_segments(
     stats: bool = False,
     half_leaf: bool = False,
     div_free: bool = False,
+    rank_push: bool = False,
 ) -> jax.Array:
     """Segment-grid packet traversal over per-treelet tables (see
     ops/treelets.py driver + _kernel docstring). Returns [4, S*p] rows
@@ -1013,7 +1055,7 @@ def packet_intersect_segments(
     kernel = functools.partial(
         _kernel, leaf_size=tt.leaf_size, any_hit=any_hit, t_min=t_min,
         width=tt.width, stack=stack, seg=True, stats=stats,
-        half_leaf=half_leaf, div_free=div_free,
+        half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
     )
     row_len = tt.node_tables.shape[2]
     lane = tt.cluster_tables.shape[2]

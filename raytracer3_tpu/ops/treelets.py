@@ -200,6 +200,7 @@ def _run_segments(
     stats: bool = False,
     half_leaf: bool = False,
     div_free: bool = False,
+    rank_push: bool = False,
 ):
     """Segment metadata + kernel launch: per-segment near-first candidate
     lists (sentinel slots repeat the last valid id so Pallas keeps the
@@ -255,6 +256,7 @@ def _run_segments(
         tt, seg_list, seg_gmask, o, d, cap,
         t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
         stats=stats, half_leaf=half_leaf, div_free=div_free,
+        rank_push=rank_push,
     )
 
 
@@ -273,6 +275,7 @@ def treelet_intersect(
     stats: bool = False,
     half_leaf: bool = False,
     div_free: bool = False,
+    rank_push: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
 
@@ -349,7 +352,7 @@ def treelet_intersect(
         tt, o, d, cap, want_s, tn_s,
         t_min=t_min, any_hit=any_hit, interpret=interpret,
         sublanes=sublanes, e_cap=e_cap, stats=stats, half_leaf=half_leaf,
-        div_free=div_free,
+        div_free=div_free, rank_push=rank_push,
     )
     if stats:
         out, stat_rows = out

@@ -132,3 +132,55 @@ def test_layout_stats_shape():
     assert st["cand_max"] <= tt.num_treelets
     assert st["union_max"] <= tt.num_treelets
     assert st["steps"] >= st["segments"] * 0  # well-formed
+
+
+def test_rank_push_matches_sort_network(soup_tt):
+    """Vectorized rank-select child pushes must reproduce the Batcher
+    network's traversal exactly (same far-first order, same hits) for both
+    query types, and larger leaves must agree with the leaf-12 layout."""
+    _, tt = soup_tt
+    o, d = _rays(16 * 128)
+    base = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=16, half_leaf=True
+    )
+    rp = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=16, half_leaf=True, rank_push=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.prim_id), np.asarray(rp.prim_id)
+    )
+    np.testing.assert_allclose(np.asarray(base.t), np.asarray(rp.t), atol=1e-5)
+
+    occ_b = treelets.treelet_intersect(
+        tt, o, d, t_max=8.0, any_hit=True, interpret=True, sublanes=16
+    )
+    occ_r = treelets.treelet_intersect(
+        tt, o, d, t_max=8.0, any_hit=True, interpret=True, sublanes=16,
+        rank_push=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occ_b.hit), np.asarray(occ_r.hit))
+
+
+def test_leaf_sizes_agree(soup_tt):
+    """Treelet tables are VMEM-resident blocks, so multi-lane-tile cluster
+    rows (leaf_size > 12) are legal — unlike the per-leaf HBM-DMA mode.
+    Traversal results must be layout-independent."""
+    (v0, v1, v2), _ = soup_tt
+    o, d = _rays(16 * 128)
+    ref = None
+    for ls in (4, 16):
+        tt = treelets.build_treelets_host(
+            v0, v1, v2, leaf_size=ls, width=8, max_tris=256
+        )
+        h = treelets.treelet_intersect(
+            tt, o, d, interpret=True, sublanes=16, half_leaf=True
+        )
+        if ref is None:
+            ref = h
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(ref.prim_id), np.asarray(h.prim_id)
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref.t), np.asarray(h.t), atol=1e-5
+            )
