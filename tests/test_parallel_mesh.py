@@ -4,6 +4,8 @@ parallelism must equal the mean over decorrelated seeds, and the donated
 progressive step must preserve the film sharding (SURVEY.md §2.3 distributed
 row; the dryrun counterpart lives in __graft_entry__.dryrun_multichip)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -188,3 +190,21 @@ class TestWavefrontShardedPacket:
         np.testing.assert_allclose(
             np.asarray(img8), np.asarray(img1), rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.slow
+def test_multihost_dryrun():
+    """Two-process (DCN-analog) mesh: the production wavefront sharded over
+    2 processes x 4 CPU devices with Gloo collectives must match the
+    single-process render bit-for-bit (tools/dryrun_multihost.py)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "dryrun_multihost.py")],
+        capture_output=True, text=True, timeout=900,
+        env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "MULTIHOST ok" in res.stdout
