@@ -582,6 +582,7 @@ def treelet_backend(
     primary_presorted: bool = True,
     half_leaf: bool = True,
     div_free: bool = False,
+    rank_push: bool = False,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
     arguments (ops/backend.py).
@@ -619,21 +620,21 @@ def treelet_backend(
     def isect_fn(arrays, o, d):
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
-            half_leaf=half_leaf, div_free=div_free,
+            half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
         )
 
     def occl_fn(arrays, o, d, tmax):
         return treelet_intersect(
             _rebind(arrays), o, d, t_max=tmax, any_hit=True,
             interpret=interpret, sublanes=sublanes, sort_chunk=shadow_chunk,
-            half_leaf=half_leaf, div_free=div_free,
+            half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
         ).hit
 
     def primary_fn(arrays, o, d):
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
             presorted=primary_presorted, half_leaf=half_leaf,
-            div_free=div_free,
+            div_free=div_free, rank_push=rank_push,
         )
 
     return TraceBackend(

@@ -125,9 +125,16 @@ def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn=None, occlud
         packed = gbuffer_mod.PackedGBuffer(
             data=r["gbuf_data"], depth=r["gbuf_depth"]
         )
+        # Camera-cut history invalidation: frame 0 (the viewer resets the
+        # frame counter on camera motion) blends with factor 1.0 so stale
+        # probe history vanishes in one frame instead of decaying over
+        # ~1/blendfactor frames of ghosting.
+        bf = jnp.where(
+            jnp.asarray(frame_index, jnp.uint32) == 0, 1.0, blendfactor
+        )
         light, state, aux = probes.probe_gi_from_gbuffer(
             bindings["scene"], isect, cam, packed, prev, settings,
-            frame_index, blendfactor=blendfactor, occluded_fn=occl,
+            frame_index, blendfactor=bf, occluded_fn=occl,
         )
         return {
             "light": light,
@@ -144,6 +151,82 @@ def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn=None, occlud
     )
     g.add_pass(
         "probe_gi", gi,
+        reads=["gbuf_data", "gbuf_depth", "probe_atlas@prev", "probe_depth@prev"],
+        writes=["light", "probe_atlas", "probe_depth", "sh"],
+    )
+    g.add_pass("post", post, reads=["light"], writes=["display"])
+    step = g.compile(
+        output="display",
+        bindings={
+            "scene": scene,
+            "bvh": None if backend is None else backend.arrays,
+        },
+    )
+    return step, g.init_state
+
+
+def hybrid_gi_pipeline(
+    scene, settings: RenderSettings, intersect_fn=None, occluded_fn=None,
+    blendfactor: float = 0.15, backend=None,
+):
+    """Hybrid probes+PT (probes.hybrid_gi_from_gbuffer): per-pixel direct
+    NEE + indirect-only probe atlas, assembled through the same graph shape
+    as probe_gi_pipeline. Goes beyond the reference's probe mode (which has
+    no per-pixel shadows); the temporal resources and camera-cut
+    invalidation behave identically."""
+    w, h = settings.width, settings.height
+    px, py = settings.probe_grid
+    r_ = settings.probe_res
+    g = FrameGraph()
+    g.image("gbuf_data", (h, w, 4), dtype=jnp.uint32)
+    g.image("gbuf_depth", (h, w))
+    g.temporal("probe_atlas", (py * r_, px * r_, 3))
+    g.temporal("probe_depth", (py * r_, px * r_))
+    g.image("light", (h, w, 3))
+    g.image("display", (h, w, 3))
+    g.image("sh", (py, px, 3, 9))
+
+    def gbuf(r, cam, frame_index, bindings):
+        isect, _ = _resolve_backend(backend, intersect_fn, occluded_fn, bindings)
+        packed, _hit = probes.trace_packed_gbuffer(
+            bindings["scene"], isect, cam, settings
+        )
+        return {"gbuf_data": packed.data, "gbuf_depth": packed.depth}
+
+    def gi(r, cam, frame_index, bindings):
+        from raytracer3_tpu.render import gbuffer as gbuffer_mod
+
+        isect, occl = _resolve_backend(
+            backend, intersect_fn, occluded_fn, bindings
+        )
+        prev = probes.ProbeState(
+            atlas=r["probe_atlas@prev"],
+            depth=r["probe_depth@prev"],
+            sh_coeffs=jnp.zeros((py, px, 3, 9), jnp.float32),
+        )
+        packed = gbuffer_mod.PackedGBuffer(
+            data=r["gbuf_data"], depth=r["gbuf_depth"]
+        )
+        bf = jnp.where(
+            jnp.asarray(frame_index, jnp.uint32) == 0, 1.0, blendfactor
+        )
+        light, state, aux = probes.hybrid_gi_from_gbuffer(
+            bindings["scene"], isect, cam, packed, prev, settings,
+            frame_index, blendfactor=bf, occluded_fn=occl,
+        )
+        return {
+            "light": light,
+            "probe_atlas": state.atlas,
+            "probe_depth": state.depth,
+            "sh": state.sh_coeffs,
+        }
+
+    def post(r, cam, frame_index):
+        return {"display": postprocess.postprocess(r["light"])}
+
+    g.add_pass("gbuffer", gbuf, writes=["gbuf_data", "gbuf_depth"])
+    g.add_pass(
+        "hybrid_gi", gi,
         reads=["gbuf_data", "gbuf_depth", "probe_atlas@prev", "probe_depth@prev"],
         writes=["light", "probe_atlas", "probe_depth", "sh"],
     )

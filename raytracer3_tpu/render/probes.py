@@ -132,9 +132,17 @@ def trace_probes(
     frame_index,
     blendfactor,
     occluded_fn: Optional[pathtracer.OccludedFn] = None,
+    include_direct: bool = True,
 ) -> ProbeState:
     """Trace one ray per probe texel and temporally blend into the atlas
-    (trace_probes.slang:14-77)."""
+    (trace_probes.slang:14-77).
+
+    include_direct=False drops the terms a per-pixel direct pass already
+    covers — emissive surfaces and env misses seen by the probe ray — so the
+    atlas carries BOUNCED light only (the hybrid probes+PT split; the
+    reference's probe mode has no such split and folds everything in).
+    blendfactor may be a traced scalar (camera-cut invalidation passes 1.0
+    on reset frames to drop stale history in one frame)."""
     px, py = settings.probe_grid
     r = settings.probe_res
     sp = settings.probe_spacing
@@ -185,7 +193,11 @@ def trace_probes(
 
     # Shade the secondary surface: emissive + (upgrade) one-sample NEE direct
     # light, so probes carry real single-bounce GI.
-    radiance = surface.emissive
+    radiance = (
+        surface.emissive
+        if include_direct
+        else jnp.zeros_like(surface.emissive)
+    )
     if occluded_fn is not None and int(scene.emissive.tri_ids.shape[0]) > 0:
         hit_pos = ray_org + h.t[:, None] * ray_dir
         s_nrm = pathtracer._face_forward(surface.normal, -ray_dir)
@@ -195,8 +207,11 @@ def trace_probes(
             sampler, settings, alive_mask=h.hit,
         )
         radiance = radiance + li
-    env = pathtracer._sample_env(scene, ray_dir)
-    radiance = jnp.where(h.hit[:, None], radiance, env)
+    if include_direct:
+        env = pathtracer._sample_env(scene, ray_dir)
+        radiance = jnp.where(h.hit[:, None], radiance, env)
+    else:
+        radiance = jnp.where(h.hit[:, None], radiance, 0.0)
 
     # Write texel (dir_2d scaled back to the base grid for culled rays —
     # trace_probes.slang:74 writes at (direction_2d / size) * R).
@@ -366,6 +381,77 @@ def probe_gi_from_gbuffer(
     light = interpolate_probes(
         depth2, normal2, surface.albedo, surface.emissive, state, settings
     )
+    aux = dict(depth=depth2, view_dirs=d2)
+    return light, state, aux
+
+
+def hybrid_gi_from_gbuffer(
+    scene: scene_types.Scene,
+    intersect_fn: pathtracer.IntersectFn,
+    cam,
+    packed,  # gbuffer.PackedGBuffer with [H, W] layout
+    prev: ProbeState,
+    settings: RenderSettings,
+    frame_index,
+    blendfactor=0.15,
+    occluded_fn: Optional[pathtracer.OccludedFn] = None,
+):
+    """Hybrid probes+PT frame: per-pixel DIRECT lighting (one NEE shadow ray
+    per pixel over the area-light/env mixture — sharp shadows the probe grid
+    cannot resolve) + probe-interpolated INDIRECT diffuse from an atlas
+    traced with include_direct=False (bounced light only, so the two terms
+    partition incident radiance without double counting). The reference's
+    probe mode (shaders/old/interpolate_probes.slang) folds direct light into
+    the probes and has neither per-pixel shadows nor the split."""
+    from raytracer3_tpu.render import camera as camera_mod
+    from raytracer3_tpu.render import gbuffer as gbuffer_mod
+
+    w, h = settings.width, settings.height
+    surface = gbuffer_mod.unpack_surface(packed)
+    depth2 = packed.depth
+    normal2 = surface.normal
+    pix = camera_mod.pixel_grid(w, h)
+    o, d = camera_mod.primary_rays(cam, w, h, pixel_xy=pix)
+    o2 = o.reshape(h, w, 3)
+    d2 = d.reshape(h, w, 3)
+
+    # Indirect-only probe update.
+    dir_index, mip = structured_importance_sampling(normal2, settings)
+    state = trace_probes(
+        scene, intersect_fn, depth2, normal2, o2, d2, dir_index, mip,
+        prev, settings, frame_index, blendfactor, occluded_fn,
+        include_direct=False,
+    )
+    state = project_sh(state, settings)
+    indirect = interpolate_probes(
+        depth2, normal2, surface.albedo, jnp.zeros_like(surface.emissive),
+        state, settings,
+    )
+
+    # Per-pixel direct NEE at the primary surface.
+    hitmask = (depth2 < mathx.BACKGROUND_DEPTH).reshape(-1)
+    flat_surface = jax.tree.map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), surface
+    )
+    nrm = pathtracer._face_forward(
+        flat_surface.normal, -d2.reshape(-1, 3)
+    )
+    hit_pos = o2.reshape(-1, 3) + depth2.reshape(-1, 1) * d2.reshape(-1, 3)
+    direct = jnp.zeros((h * w, 3), jnp.float32)
+    if occluded_fn is not None:
+        ids = jnp.arange(h * w, dtype=jnp.uint32)
+        sampler = rng.Sampler.from_ids(ids, jnp.uint32(frame_index) + 77777)
+        u3, sampler = sampler.next3()
+        li, sampler = pathtracer._nee_contribution(
+            scene, occluded_fn, hit_pos, nrm, -d2.reshape(-1, 3),
+            flat_surface, u3, sampler, settings, alive_mask=hitmask,
+        )
+        direct = jnp.where(hitmask[:, None], li, 0.0)
+    direct = direct.reshape(h, w, 3)
+
+    light = indirect + direct + surface.emissive
+    sky = depth2 >= mathx.BACKGROUND_DEPTH
+    light = jnp.where(sky[..., None], 0.0, light)
     aux = dict(depth=depth2, view_dirs=d2)
     return light, state, aux
 

@@ -119,3 +119,66 @@ class TestPipeline:
         np.testing.assert_allclose(np.asarray(light[33, 33]), [1.0, 0.0, 0.0])
         # Sky pixels black.
         np.testing.assert_allclose(np.asarray(light[0, 0]), [0.0, 0.0, 0.0])
+
+
+class TestHybrid:
+    def test_indirect_only_atlas_is_bounded_by_full(self, setup):
+        """include_direct=False only removes terms (emissive at probe hits,
+        env at misses), so with blendfactor 1 every atlas texel is <= the
+        full trace's texel."""
+        scene, cam, isect, occl = setup
+        from raytracer3_tpu.render import camera as camera_mod
+
+        prev = probes.ProbeState.create(SET)
+        packed, _ = probes.trace_packed_gbuffer(scene, isect, cam, SET)
+        from raytracer3_tpu.render import gbuffer as gbuffer_mod
+
+        surface = gbuffer_mod.unpack_surface(packed)
+        pix = camera_mod.pixel_grid(64, 64)
+        o, d = camera_mod.primary_rays(cam, 64, 64, pixel_xy=pix)
+        o2, d2 = o.reshape(64, 64, 3), d.reshape(64, 64, 3)
+        di, mip = probes.structured_importance_sampling(surface.normal, SET)
+        kw = dict(
+            gbuf_depth=packed.depth, gbuf_normal=surface.normal,
+            origins=o2, view_dirs=d2, dir_index=di, mip=mip, prev=prev,
+            settings=SET, frame_index=0, blendfactor=1.0, occluded_fn=occl,
+        )
+        full = probes.trace_probes(scene, isect, **kw)
+        ind = probes.trace_probes(scene, isect, include_direct=False, **kw)
+        assert np.all(np.asarray(ind.atlas) <= np.asarray(full.atlas) + 1e-6)
+        assert float(jnp.max(ind.atlas)) > 0.0  # bounced light exists
+
+    def test_hybrid_frame_and_pipeline(self, setup):
+        """Hybrid = direct + indirect partition: finite, non-negative, and
+        lit regions carry direct light the probe-only image lacks."""
+        scene, cam, isect, occl = setup
+        from raytracer3_tpu.render import pipelines
+
+        step, init_state = pipelines.hybrid_gi_pipeline(
+            scene, SET, intersect_fn=isect, occluded_fn=occl
+        )
+        state = init_state()
+        disp, state = step(state, cam=cam, frame_index=0)
+        disp, state = step(state, cam=cam, frame_index=1)
+        assert disp.shape == (64, 64, 3)
+        assert np.isfinite(np.asarray(disp)).all()
+        assert float(jnp.max(disp)) > 0.0
+
+    def test_camera_cut_invalidation(self, setup):
+        """frame_index 0 must blend with factor 1.0: polluted probe history
+        may not leak into the frame-0 atlas."""
+        scene, cam, isect, occl = setup
+        from raytracer3_tpu.render import pipelines
+
+        step, init_state = pipelines.probe_gi_pipeline(
+            scene, SET, intersect_fn=isect, occluded_fn=occl
+        )
+        clean = init_state()
+        dirty = dict(clean)
+        dirty["probe_atlas"] = jnp.full_like(clean["probe_atlas"], 123.0)
+        _, s_clean = step(clean, cam=cam, frame_index=0)
+        _, s_dirty = step(dict(dirty), cam=cam, frame_index=0)
+        np.testing.assert_allclose(
+            np.asarray(s_clean["probe_atlas"]),
+            np.asarray(s_dirty["probe_atlas"]), atol=1e-5,
+        )
