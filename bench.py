@@ -65,15 +65,22 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces,
         )
         return film_mod.accumulate_progressive(film, radiance), traced
 
+    from raytracer3_tpu.utils import runtime as runtime_mod
+
     film = film_mod.Film.create(height, width)
     film, traced = frame(scene, backend.arrays, blue_noise, film, jnp.uint32(0))
-    int(traced)  # scalar pull: block_until_ready can lie on this runtime
+    # Scalar pull forces the frame (block_until_ready can lie on this
+    # runtime); guarded so a wedged tunnel raises instead of hanging the
+    # whole bench. First frame carries the compile — generous timeout.
+    runtime_mod.pull_guarded(traced, timeout=2400.0, what=f"{tag} compile frame")
 
     t0 = time.perf_counter()
     measured_rays = 0
     for i in range(1, n_frames + 1):
         film, traced = frame(scene, backend.arrays, blue_noise, film, jnp.uint32(i))
-        measured_rays += int(traced)  # forces the frame; negligible transfer
+        measured_rays += int(
+            runtime_mod.pull_guarded(traced, timeout=900.0, what=f"{tag} frame {i}")
+        )
     dt = (time.perf_counter() - t0) / n_frames
 
     # Nominal rays/pixel: 1 primary + bounces closest-hit + bounces NEE
@@ -123,13 +130,16 @@ def run_probe_config(tag, scene, host_tris, cam, width, height, n_frames=3):
     step, init_state = pipelines.probe_gi_pipeline(
         scene, settings, backend=backend
     )
+    from raytracer3_tpu.utils import runtime as runtime_mod
+
     state = init_state()
     disp, state = step(state, cam=cam, frame_index=jnp.uint32(0))
-    float(jnp.sum(disp))  # scalar pull (block_until_ready lies here)
+    # Guarded scalar pull (block_until_ready lies here; wedged tunnel raises).
+    runtime_mod.pull_guarded(jnp.sum(disp), timeout=2400.0, what="probe compile")
     t0 = time.perf_counter()
     for i in range(1, n_frames + 1):
         disp, state = step(state, cam=cam, frame_index=jnp.uint32(i))
-        float(jnp.sum(disp))
+        runtime_mod.pull_guarded(jnp.sum(disp), timeout=900.0, what="probe frame")
     dt = (time.perf_counter() - t0) / n_frames
     return {
         "config": tag,

@@ -43,6 +43,11 @@ class World:
         self._host_flat = None
         self._backend = None
         self.env_map: Optional[np.ndarray] = None
+        # Per-instance material overrides: instance_id → 12-lane mat row
+        # (set_instance_material); versioned like transforms so
+        # scene_instanced refreshes the small tables only.
+        self._mat_overrides: Dict[int, np.ndarray] = {}
+        self._mat_override_ver = 0
 
     # -- materials -----------------------------------------------------------
 
@@ -114,7 +119,35 @@ class World:
     def despawn(self, entity: Entity):
         if entity.instance_id is not None:
             self.pool.remove_instance(entity.instance_id)
+            self._mat_overrides.pop(entity.instance_id, None)
         del self._entities[entity.entity_id]
+
+    def set_instance_material(
+        self, entity: Entity, base_color=None, emission=(0.0, 0.0, 0.0),
+        metallic=0.0, roughness=0.5, tex_id=-1,
+    ):
+        """Override the material of EVERY surface of one instance (tint /
+        material swap without touching the shared mesh). base_color=None
+        clears the override. Costs a small-table re-upload + emissive-list
+        rebuild on the next scene_instanced(); no geometry rebake, no
+        recompile (Scene.inst_mat_table shape is stable per instance count).
+        Beyond the reference: its instances always shade with mesh materials
+        (world/mod.rs instances carry only transforms)."""
+        assert entity.instance_id is not None
+        if base_color is None:
+            self._mat_overrides.pop(entity.instance_id, None)
+        else:
+            row = np.zeros(12, np.float32)
+            row[0:3] = np.asarray(base_color, np.float32)
+            row[3:6] = (
+                np.asarray(emission, np.float32) * scene_types.EMISSION_SCALE
+            )
+            row[6] = metallic
+            row[7] = roughness
+            row[8] = tex_id
+            row[11] = 1.0  # active flag (hit_surface_info gate)
+            self._mat_overrides[entity.instance_id] = row
+        self._mat_override_ver += 1
 
     # -- device build (init_world/loaded_assets analog) -----------------------
 
@@ -201,7 +234,8 @@ class World:
             )
             self._inst_scene_sv = sv
             self._inst_scene_tv = None
-        if getattr(self, "_inst_scene_tv", None) != tv:
+        mv = self._mat_override_ver
+        if getattr(self, "_inst_scene_tv", None) != (tv, mv):
             import jax.numpy as jnp
 
             mids, meshes = self._mesh_list()
@@ -216,14 +250,32 @@ class World:
                     for _, t in instances
                 ]
             ).astype(np.float32)
+            # Per-instance override rows in TLAS instance order (sorted by
+            # instance_id, matching Hit.inst); emission overrides also swap
+            # the instance's triangles in/out of the NEE light list (raw
+            # emission — the table builder applies EMISSION_SCALE itself).
+            iids = sorted(
+                i.instance_id for i in self.pool._instances.values()
+            )
+            imt = np.zeros((len(iids), 12), np.float32)
+            em_over = {}
+            for pos, iid in enumerate(iids):
+                row = self._mat_overrides.get(iid)
+                if row is not None:
+                    imt[pos] = row
+                    em_over[pos] = row[3:6] / scene_types.EMISSION_SCALE
             emissive = scene_types.build_emissive_table_instanced(
-                meshes, instances, np.stack(self._materials["emission"])
+                meshes, instances, np.stack(self._materials["emission"]),
+                emission_overrides=em_over or None,
             )
             self._inst_scene = self._inst_scene_base._replace(
                 emissive=emissive,
                 inst_normal_mats=jnp.asarray(nmats),
+                inst_mat_table=(
+                    jnp.asarray(imt) if self._mat_overrides else None
+                ),
             )
-            self._inst_scene_tv = tv
+            self._inst_scene_tv = (tv, mv)
         return self._inst_scene
 
     def tlas_backend(self, **kw):

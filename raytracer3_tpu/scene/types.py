@@ -97,6 +97,12 @@ class Scene(NamedTuple):
     # (src/renderer/bindless/mod.rs:340-360).
     tex_atlas: Optional[jax.Array] = None  # [Ha, Wa, 3] f32
     tex_meta: Optional[jax.Array] = None  # [K, 16] f32
+    # Per-INSTANCE material override rows (TLAS scenes): same 12-lane layout
+    # as mat_table, lane 11 = 1.0 activates the override for every hit on
+    # that instance (whole-entity tint/material swap — beyond the reference,
+    # whose instances always shade with their mesh materials). Fetched with
+    # the same one-hot MXU matmul as the base row.
+    inst_mat_table: Optional[jax.Array] = None  # [I, 12] f32
 
     @property
     def num_triangles(self) -> int:
@@ -231,6 +237,11 @@ def hit_surface_info(
         tex_uv = row[:, 9:11] * w0 + row[:, 11:13] * w1 + row[:, 13:15] * w2
         g = row[:, 15].astype(jnp.int32)
         mat = _onehot_rows(scene.mat_table, g)  # [N, 12]
+        if inst is not None and scene.inst_mat_table is not None:
+            # Per-instance override row (lane 11 gates; misses are masked by
+            # callers, same convention as inst_normal_mats).
+            imat = _onehot_rows(scene.inst_mat_table, jnp.maximum(inst, 0))
+            mat = jnp.where(imat[:, 11:12] > 0.5, imat, mat)
         color = mat[:, 0:3]
         if scene.tex_atlas is not None:
             from raytracer3_tpu.scene import textures as tex_mod
@@ -348,13 +359,18 @@ def build_emissive_table_instanced(
     instances: list,
     emission: np.ndarray,
     pad_to: int | None = None,
+    emission_overrides: dict | None = None,
 ) -> EmissiveTable:
     """NEE light list for instanced (TLAS) scenes: emissive triangles of
     every instance transformed to world space. Rebuilt on transform edits
     (O(emissive tris), host) — geometry pools are untouched.
 
     meshes: list of dicts (positions/indices/geo_id, object space);
-    instances: list of (mesh_index, transform[4,4])."""
+    instances: list of (mesh_index, transform[4,4]);
+    emission_overrides: {instance position → [3] emission} — a per-instance
+    material override (Scene.inst_mat_table) replaces EVERY geo's emission,
+    so the whole instance enters/leaves the light list consistently with
+    what hit_surface_info will shade."""
     v0s, v1s, v2s, ems = [], [], [], []
     ids = []
     tbase = 0
@@ -362,9 +378,14 @@ def build_emissive_table_instanced(
     for m in meshes:
         tri_base.append(tbase)
         tbase += len(m["indices"])
-    for mi, t in instances:
+    for ii, (mi, t) in enumerate(instances):
         m = meshes[mi]
         em_per_tri = emission[m["geo_id"]]
+        if emission_overrides and ii in emission_overrides:
+            em_per_tri = np.broadcast_to(
+                np.asarray(emission_overrides[ii], np.float32),
+                em_per_tri.shape,
+            )
         mask = em_per_tri.max(axis=-1) > 0.0
         if not mask.any():
             continue

@@ -362,3 +362,58 @@ def test_instanced_render_matches_flattened():
     assert lit.sum() > 200
     px_rel = np.abs(img_i[lit] - img_f[lit]).mean() / img_f[lit].mean()
     assert px_rel < 0.35, f"pixel mismatch {px_rel:.3f}"
+
+
+def test_instance_material_override():
+    """set_instance_material swaps the whole instance's shading row (albedo /
+    emission) without touching geometry, and emission overrides enter the
+    NEE light list (scene/types.build_emissive_table_instanced)."""
+    import jax.numpy as jnp
+
+    from raytracer3_tpu.app import world as world_mod
+    from raytracer3_tpu.scene import types as scene_types
+
+    w = world_mod.World()
+    w.add_material((0.2, 0.8, 0.2, 1.0))
+    m = _box_mesh()
+    geo = np.zeros(len(m["indices"]), np.int32)
+    nrm = np.tile(np.asarray([[0, 1, 0]], np.float32), (len(m["positions"]), 1))
+    uv = np.zeros((len(m["positions"]), 2), np.float32)
+    h = w.add_mesh(m["positions"], nrm, uv, m["indices"], geo)
+    e1 = w.spawn(h, transform=_transform(-1.0, 0.0, 0.0))
+    e2 = w.spawn(h, transform=_transform(1.0, 0.0, 0.0))
+
+    s0 = w.scene_instanced()
+    assert s0.inst_mat_table is None
+    assert int(s0.emissive.count) == 0
+
+    w.set_instance_material(
+        e2, base_color=(0.9, 0.1, 0.1), emission=(3.0, 3.0, 3.0)
+    )
+    s1 = w.scene_instanced()
+    assert s1.inst_mat_table is not None
+    # Geometry untouched; only small tables changed.
+    assert s1.positions is s0.positions
+    assert s1.shade_table is s0.shade_table
+
+    # Shade a hit on each instance: e1 keeps the mesh material, e2 overrides.
+    pid = jnp.zeros((2,), jnp.int32)
+    uvb = jnp.full((2, 2), 0.3, jnp.float32)
+    inst = jnp.asarray([0, 1], jnp.int32)
+    surf = scene_types.hit_surface_info(s1, pid, uvb, inst)
+    np.testing.assert_allclose(np.asarray(surf.albedo[0]), [0.2, 0.8, 0.2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(surf.albedo[1]), [0.9, 0.1, 0.1], atol=1e-6)
+    # Emission honors the x12 scale quirk and only on the overridden instance.
+    assert float(surf.emissive[0].max()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(surf.emissive[1]),
+        np.asarray([3.0, 3.0, 3.0]) * scene_types.EMISSION_SCALE, rtol=1e-6,
+    )
+    # The overridden instance's triangles joined the light list.
+    assert int(s1.emissive.count) == len(m["indices"])
+
+    # Clearing restores the base path.
+    w.set_instance_material(e2, base_color=None)
+    s2 = w.scene_instanced()
+    assert s2.inst_mat_table is None
+    assert int(s2.emissive.count) == 0
