@@ -198,15 +198,46 @@ def trace_probes(
         if include_direct
         else jnp.zeros_like(surface.emissive)
     )
+    hit_pos = ray_org + h.t[:, None] * ray_dir
+    s_nrm = pathtracer._face_forward(surface.normal, -ray_dir)
     if occluded_fn is not None and int(scene.emissive.tri_ids.shape[0]) > 0:
-        hit_pos = ray_org + h.t[:, None] * ray_dir
-        s_nrm = pathtracer._face_forward(surface.normal, -ray_dir)
         u3, sampler = sampler.next3()
         li, sampler = pathtracer._nee_contribution(
             scene, occluded_fn, hit_pos, s_nrm, -ray_dir, surface, u3,
             sampler, settings, alive_mask=h.hit,
         )
         radiance = radiance + li
+    if settings.probe_bounces > 1:
+        # One cosine-sampled diffuse bounce at the probe hit: its emissive /
+        # env / NEE terms are all >=1-bounce light AT THE ANCHOR, so they
+        # belong in the atlas under both include_direct modes (the hybrid
+        # split only excludes light arriving at the anchor directly).
+        from raytracer3_tpu.ops import brdf
+
+        u2, sampler = sampler.next2()
+        s2 = brdf.diffuse_sample(surface.albedo, u2)
+        onb = mathx.build_orthonormal_basis(s_nrm)
+        d2w = mathx.to_world(onb, s2.wi)
+        o2 = hit_pos + s_nrm * 5e-4
+        alive2 = h.hit & s2.valid
+        o2 = jnp.where(alive2[:, None], o2, 1e30)  # park dead probe paths
+        h2 = intersect_fn(o2, d2w)
+        surface2 = scene_types.hit_surface_info(scene, h2.prim_id, h2.uv, h2.inst)
+        b_rad = surface2.emissive
+        if occluded_fn is not None and int(scene.emissive.tri_ids.shape[0]) > 0:
+            hp2 = o2 + h2.t[:, None] * d2w
+            n2 = pathtracer._face_forward(surface2.normal, -d2w)
+            u3b, sampler = sampler.next3()
+            li2, sampler = pathtracer._nee_contribution(
+                scene, occluded_fn, hp2, n2, -d2w, surface2, u3b,
+                sampler, settings, alive_mask=alive2 & h2.hit,
+            )
+            b_rad = b_rad + li2
+        env2 = pathtracer._sample_env(scene, d2w)
+        b_rad = jnp.where(h2.hit[:, None], b_rad, env2)
+        radiance = radiance + jnp.where(
+            alive2[:, None], s2.value_over_pdf * b_rad, 0.0
+        )
     if include_direct:
         env = pathtracer._sample_env(scene, ray_dir)
         radiance = jnp.where(h.hit[:, None], radiance, env)

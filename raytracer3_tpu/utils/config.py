@@ -25,6 +25,10 @@ class RenderSettings:
     # px, probe_res × probe_res octahedral directions per probe.
     probe_spacing: int = 16
     probe_res: int = 8
+    # Probe-ray path depth: 2 adds one cosine-sampled diffuse bounce at the
+    # probe ray's hit (NEE-shaded), so probes carry 2-bounce GI — beyond the
+    # reference's single-segment probe rays (trace_probes.slang:55-70).
+    probe_bounces: int = 1
     # interpolate_probes.slang cell_size knob
     cell_size: float = 0.01
     proberng: bool = False

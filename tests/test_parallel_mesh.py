@@ -52,6 +52,7 @@ def _reference_frame(scene, cam, settings, frame_index, isect, occl):
     return jnp.where(gbuf.hit[:, None], radiance, env).reshape(h, w, 3)
 
 
+@pytest.mark.slow  # ~3-6 min each on the shared core (8-device mesh renders)
 class TestRenderTiled:
     def test_matches_single_device(self, setup):
         scene, cam, settings, isect, occl = setup
@@ -77,6 +78,7 @@ class TestRenderTiled:
         assert shards[0].data.shape[0] == settings.height // len(jax.devices())
 
 
+@pytest.mark.slow  # ~3-6 min each on the shared core (8-device mesh renders)
 class TestSampleParallel:
     def test_equals_seed_mean(self, setup):
         scene, cam, settings, isect, occl = setup
@@ -99,6 +101,7 @@ class TestSampleParallel:
         )
 
 
+@pytest.mark.slow  # ~3-6 min each on the shared core (8-device mesh renders)
 class TestProgressiveStepTiled:
     def test_sharding_preserved_and_mean_correct(self, setup):
         scene, cam, settings, isect, occl = setup

@@ -1,6 +1,7 @@
 """Probe-GI pipeline tests (SIS, probe tracing, SH conversion, interpolation
 — the shaders/old/ pipeline, SURVEY.md §3.5)."""
 
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -182,3 +183,34 @@ class TestHybrid:
             np.asarray(s_clean["probe_atlas"]),
             np.asarray(s_dirty["probe_atlas"]), atol=1e-5,
         )
+
+
+def test_probe_second_bounce_adds_energy(setup):
+    """probe_bounces=2 traces one diffuse bounce at the probe hit; in a
+    closed emissive box it can only ADD energy to the atlas (all second-
+    bounce terms are non-negative), and must stay finite."""
+    scene, cam, isect, occl = setup
+    from raytracer3_tpu.render import camera as camera_mod
+
+    prev = probes.ProbeState.create(SET)
+    packed, _ = probes.trace_packed_gbuffer(scene, isect, cam, SET)
+    from raytracer3_tpu.render import gbuffer as gbuffer_mod
+
+    surface = gbuffer_mod.unpack_surface(packed)
+    pix = camera_mod.pixel_grid(64, 64)
+    o, d = camera_mod.primary_rays(cam, 64, 64, pixel_xy=pix)
+    o2, d2 = o.reshape(64, 64, 3), d.reshape(64, 64, 3)
+    di, mip = probes.structured_importance_sampling(surface.normal, SET)
+    kw = dict(
+        gbuf_depth=packed.depth, gbuf_normal=surface.normal,
+        origins=o2, view_dirs=d2, dir_index=di, mip=mip, prev=prev,
+        frame_index=0, blendfactor=1.0, occluded_fn=occl,
+    )
+    one = probes.trace_probes(scene, isect, settings=SET, **kw)
+    two = probes.trace_probes(
+        scene, isect, settings=dataclasses.replace(SET, probe_bounces=2), **kw
+    )
+    a1, a2 = np.asarray(one.atlas), np.asarray(two.atlas)
+    assert np.isfinite(a2).all()
+    assert np.all(a2 >= a1 - 1e-6)
+    assert float(a2.sum()) > float(a1.sum())  # bounce light actually lands
