@@ -79,6 +79,60 @@ def _median_partition(centroids: np.ndarray, max_items: int) -> list[np.ndarray]
     return parts
 
 
+def _sah_partition(
+    centroids: np.ndarray,
+    tri_min: np.ndarray,
+    tri_max: np.ndarray,
+    max_items: int,
+    balance: int = 3,
+) -> list[np.ndarray]:
+    """Surface-area-minimizing treelet cut: recursive sweep over the three
+    centroid orders picking the split that minimizes SA(left)·n_l +
+    SA(right)·n_r, with cuts confined to [1/(b+1), b/(b+1)] of the range so
+    table padding stays bounded.
+
+    Measured vs the centroid-median cut on the 300k-tri atrium at 4.2M-ray
+    density (tools note in docs/ROADMAP.md): per-ray candidate treelets
+    4.46 → 2.4-2.6, segment-grid steps −17% (32k treelets) to −69% (100k
+    treelets) — treelet AABBs stop overlapping where the median cut sliced
+    through walls."""
+    parts = []
+
+    def sa(lo, hi):
+        e = np.maximum(hi - lo, 0)
+        return e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 0] * e[:, 2]
+
+    def rec(idx):
+        if idx.size <= max_items:
+            parts.append(idx)
+            return
+        best = None
+        m = idx.size
+        cand = np.arange(
+            max(1, m // (balance + 1)), min(m, balance * m // (balance + 1))
+        )
+        for ax in range(3):
+            order = np.argsort(centroids[idx, ax], kind="stable")
+            si = idx[order]
+            lo_c = np.minimum.accumulate(tri_min[si], axis=0)
+            hi_c = np.maximum.accumulate(tri_max[si], axis=0)
+            lo_r = np.minimum.accumulate(tri_min[si][::-1], axis=0)[::-1]
+            hi_r = np.maximum.accumulate(tri_max[si][::-1], axis=0)[::-1]
+            cost = (
+                sa(lo_c, hi_c)[cand - 1] * cand
+                + sa(lo_r, hi_r)[cand] * (m - cand)
+            )
+            j = int(np.argmin(cost))
+            if best is None or cost[j] < best[0]:
+                best = (cost[j], si, int(cand[j]))
+        _, si, cut = best
+        rec(si[:cut])
+        rec(si[cut:])
+
+    rec(np.arange(centroids.shape[0], dtype=np.int64))
+    return parts
+
+
 def build_treelets_host(
     v0: np.ndarray,
     v1: np.ndarray,
@@ -86,17 +140,26 @@ def build_treelets_host(
     leaf_size: int = 12,
     width: int = 16,
     max_tris: int = 32768,
+    partition: str = "sah",
 ) -> TreeletTables:
     """Partition triangles into treelets and build each treelet's wide
     cluster BVH (host numpy end-to-end — device pulls through a tunneled TPU
-    cost ~1 s each, see cluster_bvh.build_cluster_bvh_host)."""
+    cost ~1 s each, see cluster_bvh.build_cluster_bvh_host).
+
+    partition: "sah" (default; overlap-minimizing cut, see _sah_partition)
+    or "median" (the balanced centroid-median cut)."""
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
 
     v0 = np.asarray(jax.device_get(v0), np.float32)
     v1 = np.asarray(jax.device_get(v1), np.float32)
     v2 = np.asarray(jax.device_get(v2), np.float32)
     cent = (v0 + v1 + v2) / 3.0
-    parts = _median_partition(cent, max_tris)
+    if partition == "sah":
+        tri_min = np.minimum(np.minimum(v0, v1), v2)
+        tri_max = np.maximum(np.maximum(v0, v1), v2)
+        parts = _sah_partition(cent, tri_min, tri_max, max_tris)
+    else:
+        parts = _median_partition(cent, max_tris)
 
     nodes, clusters, aabbs, depth = [], [], [], 1
     for idx in parts:
@@ -583,6 +646,7 @@ def treelet_backend(
     half_leaf: bool = True,
     div_free: bool = False,
     rank_push: bool = False,
+    partition: str = "sah",
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
     arguments (ops/backend.py).
@@ -601,7 +665,8 @@ def treelet_backend(
     else:
         v0, v1, v2 = scene.tri_vertices()
     tt = build_treelets_host(
-        v0, v1, v2, leaf_size, width=width, max_tris=max_tris
+        v0, v1, v2, leaf_size, width=width, max_tris=max_tris,
+        partition=partition,
     )
     meta = tt._replace(node_tables=None, cluster_tables=None, aabb=None)
     arrays = {

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument("--sublanes", type=int, default=512)
     ap.add_argument("--max-tris", type=int, default=32768)
+    ap.add_argument("--partition", default="sah")
     ap.add_argument("--bvh-width", type=int, default=16)
     ap.add_argument("--leaf-size", type=int, default=12)
     ap.add_argument("--what", default="drivers")
@@ -55,6 +56,7 @@ def main():
     tt = treelets.build_treelets_host(
         host[0], host[1], host[2], leaf_size=args.leaf_size,
         width=args.bvh_width, max_tris=args.max_tris,
+        partition=args.partition,
     )
     print(
         f"tris={host[0].shape[0]} n={n} K={tt.num_treelets} "

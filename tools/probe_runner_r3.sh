@@ -3,8 +3,17 @@
 # Usage: nohup bash tools/probe_runner_r3.sh > /tmp/runner_r3.log 2>&1 &
 set -x
 cd /root/repo
-timeout 2400 python tools/probe_r3.py --what density   > /tmp/probe_density3.log 2>&1
-timeout 2400 python tools/probe_r3.py --what rankpush  > /tmp/probe_rankpush.log 2>&1
-timeout 2400 python tools/probe_r3.py --what base --leaf-size 16 > /tmp/probe_leaf16.log 2>&1
-timeout 2400 python tools/probe_r3.py --what base --leaf-size 24 > /tmp/probe_leaf24.log 2>&1
+# 1. SAH partition (new default) vs logged median-halfleaf numbers
+#    (probe_hl: primary 28.15 / bounce 2.84 / sun 10.14 / mix 6.09 Mray/s).
+timeout 2400 python tools/probe_r3.py --what halfleaf > /tmp/probe_sah32k.log 2>&1
+# 2. The big bet: ~100k-tri SAH treelets (K~5), leaf 24 (VMEM-safe tables).
+timeout 2400 python tools/probe_r3.py --what halfleaf --max-tris 98304 --leaf-size 24 > /tmp/probe_sah98k_l24.log 2>&1
+# 3. Same at leaf 12 (tables ~5 MB/buffer - may OOM VMEM; failure is data).
+timeout 2400 python tools/probe_r3.py --what halfleaf --max-tris 98304 > /tmp/probe_sah98k_l12.log 2>&1
+# 4. Rank-select pushes A/B (on SAH 32k tables).
+timeout 2400 python tools/probe_r3.py --what rankpush > /tmp/probe_rankpush.log 2>&1
+# 5. Density sweep incl. mixed any-hit (sample batching x4/x8).
+timeout 2400 python tools/probe_r3.py --what density > /tmp/probe_density3.log 2>&1
+# 6. Leaf-size sweep at 32k for completeness.
+timeout 2400 python tools/probe_r3.py --what halfleaf --leaf-size 16 > /tmp/probe_sah32k_l16.log 2>&1
 echo RUNNER_DONE
