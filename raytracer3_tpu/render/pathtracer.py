@@ -257,11 +257,16 @@ def _nee_contribution(
     alive_mask: jax.Array | None = None,
     sort_shadow: bool = False,
     sort_bounds=None,
+    return_count: bool = False,
 ):
     """One-sample next-event estimation over the light mixture: area lights
     (area-proportional pick) and, when the scene has an environment, the
     alias-sampled env (q = _env_mix_q). Visibility by shadow ray,
-    balance-heuristic MIS against BRDF sampling."""
+    balance-heuristic MIS against BRDF sampling.
+
+    return_count=True additionally returns the number of lanes whose shadow
+    ray actually traversed (pre_ok) — the honest shadow-ray meter; lanes
+    with invalid/backfacing samples are parked and cost ~nothing."""
     em = scene.emissive
     has_area = int(em.tri_ids.shape[0]) > 0
     if has_area:
@@ -385,7 +390,10 @@ def _nee_contribution(
         * (cos_s * mis_w / jnp.maximum(pdf_sel, 1e-20))[:, None]
     )
     ok = pre_ok & ~blocked
-    return jnp.where(ok[:, None], contrib, 0.0), sampler
+    li_out = jnp.where(ok[:, None], contrib, 0.0)
+    if return_count:
+        return li_out, sampler, jnp.sum(pre_ok.astype(jnp.int32))
+    return li_out, sampler
 
 
 def render_image(

@@ -157,7 +157,7 @@ def trace_wavefront(
 
     def bounce(carry, b):
         q, sampler = carry
-        n_shadow = jnp.sum(q.alive.astype(jnp.int32)) if use_nee else jnp.int32(0)
+        n_shadow = jnp.int32(0)  # measured below (pre_ok lanes only)
 
         fp_log2 = None
         if scene.tex_atlas is not None:
@@ -199,10 +199,10 @@ def trace_wavefront(
 
         if use_nee:
             u_l, sampler = sampler.next3()
-            li, sampler = pathtracer._nee_contribution(
+            li, sampler, n_shadow = pathtracer._nee_contribution(
                 scene, occluded_fn, hit_pos, nrm, -q.direction, surface, u_l,
                 sampler, settings, alive_mask=q.alive, sort_shadow=sort_rays,
-                sort_bounds=sort_bounds,
+                sort_bounds=sort_bounds, return_count=True,
             )
             radiance = radiance + jnp.where(q.alive[:, None], q.throughput * li, 0.0)
 
@@ -269,8 +269,10 @@ def trace_wavefront(
             inst=h.inst,
         )
         # Honest ray metering: lanes alive entering the closest-hit trace +
-        # lanes alive at NEE (shadow rays). Parked lanes are skipped by the
-        # sort + group machinery, so nominal 2·bounces/pixel overcounts.
+        # shadow lanes that actually traversed (pre_ok inside NEE — invalid/
+        # backfacing samples are parked and cost ~nothing). Parked lanes are
+        # skipped by the sort + group machinery, so nominal 2·bounces/pixel
+        # overcounts.
         n_closest = jnp.sum(alive_at_trace.astype(jnp.int32))
         return (q, sampler), n_closest + n_shadow
 
