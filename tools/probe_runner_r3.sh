@@ -16,4 +16,8 @@ timeout 2400 python tools/probe_r3.py --what rankpush > /tmp/probe_rankpush.log 
 timeout 2400 python tools/probe_r3.py --what density > /tmp/probe_density3.log 2>&1
 # 6. Leaf-size sweep at 32k for completeness.
 timeout 2400 python tools/probe_r3.py --what halfleaf --leaf-size 16 > /tmp/probe_sah32k_l16.log 2>&1
+
+# 7. Frame-side attribution at 1080p (the unexplained ~40 ms/bounce):
+timeout 2400 python tools/frame_probe.py --width 1920 --height 1088 --stub > /tmp/frame_stub_1080.log 2>&1
+timeout 2400 python tools/frame_probe.py --width 1920 --height 1088 > /tmp/frame_real_1080.log 2>&1
 echo RUNNER_DONE
