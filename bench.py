@@ -115,10 +115,12 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces,
     }
 
 
-def run_probe_config(tag, scene, host_tris, cam, width, height, n_frames=3):
+def run_probe_config(tag, scene, host_tris, cam, width, height, n_frames=3,
+                     hybrid=False):
     """Probe-GI pipeline cost on chip (the reference's flagship GI mode,
     shaders/old/trace_probes.slang): G-buffer → SIS → probe trace → SH →
-    interpolate → AgX, one jitted step."""
+    interpolate → AgX, one jitted step. hybrid=True benches the hybrid
+    probes+PT pipeline (per-pixel direct NEE + indirect-only probes)."""
     import jax.numpy as jnp
 
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
@@ -127,9 +129,10 @@ def run_probe_config(tag, scene, host_tris, cam, width, height, n_frames=3):
 
     backend = tk.packet_backend(host_tris=host_tris)
     settings = RenderSettings(width=width, height=height, bounces=1, samples=1)
-    step, init_state = pipelines.probe_gi_pipeline(
-        scene, settings, backend=backend
+    factory = (
+        pipelines.hybrid_gi_pipeline if hybrid else pipelines.probe_gi_pipeline
     )
+    step, init_state = factory(scene, settings, backend=backend)
     from raytracer3_tpu.utils import runtime as runtime_mod
 
     state = init_state()
@@ -194,6 +197,9 @@ def main() -> None:
     results.append(run_config("headline", scene, tris, cam, 960, 544, 4))
     results.append(
         run_probe_config("probe_gi", scene, tris, cam, 960, 544)
+    )
+    results.append(
+        run_probe_config("hybrid_gi", scene, tris, cam, 960, 544, hybrid=True)
     )
 
     big_scene, big_tris = sponza_world_scene(detail=8)

@@ -250,22 +250,28 @@ def probe_gi_sample_parallel(
     n_frames: int = 2,
     mesh: Mesh | None = None,
     axis: str = "tiles",
+    pipeline: str = "probe",
 ) -> jax.Array:
     """Probe-GI pipeline under sample parallelism: every chip runs the full
     probe pipeline with a decorrelated seed stream; the display estimates
     psum-average over the mesh. (The probe passes have cross-probe reads —
     interpolation touches 4 neighbors — so row-sharding would need halos;
-    sample parallelism shards the Monte-Carlo axis instead.)"""
+    sample parallelism shards the Monte-Carlo axis instead.)
+
+    pipeline: "probe" (legacy parity mode) or "hybrid" (probes+PT)."""
     from raytracer3_tpu.render import pipelines
 
     mesh = mesh or make_render_mesh(axis=axis)
     n_dev = mesh.shape[axis]
+    factory = (
+        pipelines.hybrid_gi_pipeline
+        if pipeline == "hybrid"
+        else pipelines.probe_gi_pipeline
+    )
 
     def shard_fn(_token):
         shard_id = jax.lax.axis_index(axis).astype(jnp.uint32)
-        step, init_state = pipelines.probe_gi_pipeline(
-            scene, settings, backend=backend
-        )
+        step, init_state = factory(scene, settings, backend=backend)
         state = init_state()
         disp = None
         for i in range(n_frames):
