@@ -17,6 +17,8 @@ timeout 2400 python tools/probe_r3.py --what density > /tmp/probe_density3.log 2
 # 6. Leaf-size sweep at 32k for completeness.
 timeout 2400 python tools/probe_r3.py --what halfleaf --leaf-size 16 > /tmp/probe_sah32k_l16.log 2>&1
 
+# 6b. Pop-counter stats for the winning table config (attribution).
+timeout 2400 python tools/probe_r3.py --what stats --max-tris 98304 --leaf-size 24 > /tmp/probe_stats98k.log 2>&1
 # 7. Frame-side attribution at 1080p (the unexplained ~40 ms/bounce):
 timeout 2400 python tools/frame_probe.py --width 1920 --height 1088 --stub > /tmp/frame_stub_1080.log 2>&1
 timeout 2400 python tools/frame_probe.py --width 1920 --height 1088 > /tmp/frame_real_1080.log 2>&1
