@@ -182,6 +182,7 @@ def hybrid_gi_pipeline(
     g.image("gbuf_depth", (h, w))
     g.temporal("probe_atlas", (py * r_, px * r_, 3))
     g.temporal("probe_depth", (py * r_, px * r_))
+    g.temporal("direct_hist", (h, w, 3))
     g.image("light", (h, w, 3))
     g.image("display", (h, w, 3))
     g.image("sh", (py, px, 3, 9))
@@ -214,8 +215,15 @@ def hybrid_gi_pipeline(
             bindings["scene"], isect, cam, packed, prev, settings,
             frame_index, blendfactor=bf, occluded_fn=occl,
         )
+        # The per-pixel direct term is one NEE sample/frame — temporally
+        # blend it with the probe history's own factor and invalidation so
+        # sharp shadows converge while camera cuts drop stale history (the
+        # indirect term is already smoothed inside the probe atlas).
+        direct = light - aux["indirect"]
+        direct = r["direct_hist@prev"] + (direct - r["direct_hist@prev"]) * bf
         return {
-            "light": light,
+            "light": aux["indirect"] + direct,
+            "direct_hist": direct,
             "probe_atlas": state.atlas,
             "probe_depth": state.depth,
             "sh": state.sh_coeffs,
@@ -227,8 +235,11 @@ def hybrid_gi_pipeline(
     g.add_pass("gbuffer", gbuf, writes=["gbuf_data", "gbuf_depth"])
     g.add_pass(
         "hybrid_gi", gi,
-        reads=["gbuf_data", "gbuf_depth", "probe_atlas@prev", "probe_depth@prev"],
-        writes=["light", "probe_atlas", "probe_depth", "sh"],
+        reads=[
+            "gbuf_data", "gbuf_depth", "probe_atlas@prev",
+            "probe_depth@prev", "direct_hist@prev",
+        ],
+        writes=["light", "direct_hist", "probe_atlas", "probe_depth", "sh"],
     )
     g.add_pass("post", post, reads=["light"], writes=["display"])
     step = g.compile(

@@ -480,10 +480,13 @@ def hybrid_gi_from_gbuffer(
         direct = jnp.where(hitmask[:, None], li, 0.0)
     direct = direct.reshape(h, w, 3)
 
-    light = indirect + direct + surface.emissive
     sky = depth2 >= mathx.BACKGROUND_DEPTH
+    indirect = jnp.where(sky[..., None], 0.0, indirect)
+    light = indirect + direct + surface.emissive
     light = jnp.where(sky[..., None], 0.0, light)
-    aux = dict(depth=depth2, view_dirs=d2)
+    # aux carries the indirect-only term so callers can temporally filter
+    # the (noisy, 1-sample) direct remainder separately.
+    aux = dict(depth=depth2, view_dirs=d2, indirect=indirect)
     return light, state, aux
 
 
