@@ -145,9 +145,13 @@ class Viewer:
 
 def make_default_frame_fn(
     scene, settings: RenderSettings, intersect_fn=None, occluded_fn=None,
-    backend=None,
+    backend=None, denoise: bool = False,
 ):
     """Standard progressive frame: wavefront PT + film blend + AgX display.
+
+    denoise=True filters shallow-accumulation frames with the edge-aware
+    à-trous pass (render/denoise.py) — the frames right after a camera move
+    reset display smooth instead of raw 1-spp noise.
 
     Prefer ``backend=`` (TraceBackend): scene + BVH tables then cross the jit
     boundary as arguments (ops/backend.py)."""
@@ -159,12 +163,24 @@ def make_default_frame_fn(
             isect, occl = backend.bind(bvh)
         else:
             isect, occl = intersect_fn, occluded_fn
-        radiance = wavefront.render_frame(
+        out = wavefront.render_frame(
             scene_, cam, settings, fi, isect, occl,
             sort_rays=backend is not None and not backend.self_sorting,
+            return_gbuffer=denoise,
         )
-        film2 = film_mod.accumulate_progressive(film, radiance)
-        display = postprocess.postprocess(film2.accum)
+        if denoise:
+            from raytracer3_tpu.render import denoise as dn
+
+            radiance, (gd, gn) = out
+            film2 = film_mod.accumulate_progressive(film, radiance)
+            filt = dn.atrous_filter(film2.accum, gd, gn)
+            s = dn.denoise_strength(film2.frame_index)
+            display = postprocess.postprocess(
+                film2.accum + (filt - film2.accum) * s
+            )
+        else:
+            film2 = film_mod.accumulate_progressive(film, out)
+            display = postprocess.postprocess(film2.accum)
         return film2, display
 
     bvh = None if backend is None else backend.arrays
@@ -307,6 +323,10 @@ def main(argv=None):
         "--preview-port", type=int, default=None,
         help="serve a live MJPEG preview on this port (0 = auto-pick)",
     )
+    ap.add_argument(
+        "--denoise", action="store_true",
+        help="edge-aware a-trous filter on shallow-accumulation frames",
+    )
     args = ap.parse_args(argv)
 
     from raytracer3_tpu.app import world as world_mod
@@ -347,7 +367,9 @@ def main(argv=None):
     )
 
     def rebuild(s):
-        return make_default_frame_fn(scene, s, backend=backend)
+        return make_default_frame_fn(
+            scene, s, backend=backend, denoise=args.denoise
+        )
 
     preview = None
     if args.preview_port is not None:

@@ -30,12 +30,18 @@ def _resolve_backend(backend, intersect_fn, occluded_fn, bindings):
 def wavefront_pipeline(
     scene, settings: RenderSettings, intersect_fn=None, occluded_fn=None,
     sort_rays: bool = True, backend=None, blue_noise=None,
+    denoise: bool = False,
 ):
     """Production progressive path tracing: wavefront PT → film blend → AgX.
 
     Graph form of the reference's active `commands` declaration: a "trace"
     pass writing radiance, a "blend" pass folding it into the temporal film,
     and a "post" pass producing the display image (the swapchain writer).
+
+    denoise=True adds an edge-aware à-trous filter on the film whose
+    strength fades as accumulation deepens (render/denoise.py) — shallow
+    frames (right after a camera move resets the film) display smooth while
+    Monte-Carlo convergence takes over. The reference has no denoiser.
 
     Prefer ``backend=`` (a TraceBackend): the scene and BVH tables then cross
     the jit boundary as arguments (bindings), which tunneled-TPU dispatch
@@ -47,16 +53,23 @@ def wavefront_pipeline(
     g.temporal("film", (h, w, 3))
     g.temporal("frame_count", ())
     g.image("display", (h, w, 3))
+    if denoise:
+        g.image("gbuf_depth", (h, w))
+        g.image("gbuf_normal", (h, w, 3))
 
     def trace(r, cam, frame_index, bindings):
         isect, occl = _resolve_backend(
             backend, intersect_fn, occluded_fn, bindings
         )
-        rad = wavefront.render_frame(
+        out = wavefront.render_frame(
             bindings["scene"], cam, settings, frame_index, isect, occl,
             sort_rays=sort_rays, blue_noise=bindings.get("blue_noise"),
+            return_gbuffer=denoise,
         )
-        return {"radiance": rad}
+        if denoise:
+            rad, (gd, gn) = out
+            return {"radiance": rad, "gbuf_depth": gd, "gbuf_normal": gn}
+        return {"radiance": out}
 
     def blend(r, cam, frame_index):
         n = r["frame_count@prev"]
@@ -67,15 +80,31 @@ def wavefront_pipeline(
         }
 
     def post(r, cam, frame_index):
-        return {"display": postprocess.postprocess(r["film"])}
+        film = r["film"]
+        if denoise:
+            from raytracer3_tpu.render import denoise as dn
 
-    g.add_pass("trace", trace, writes=["radiance"])
+            filt = dn.atrous_filter(film, r["gbuf_depth"], r["gbuf_normal"])
+            s = dn.denoise_strength(r["frame_count"])
+            film = film + (filt - film) * s
+        return {"display": postprocess.postprocess(film)}
+
+    g.add_pass(
+        "trace", trace,
+        writes=["radiance"]
+        + (["gbuf_depth", "gbuf_normal"] if denoise else []),
+    )
     g.add_pass(
         "blend", blend,
         reads=["radiance", "film@prev", "frame_count@prev"],
         writes=["film", "frame_count"],
     )
-    g.add_pass("post", post, reads=["film"], writes=["display"])
+    g.add_pass(
+        "post", post,
+        reads=["film", "frame_count"]
+        + (["gbuf_depth", "gbuf_normal"] if denoise else []),
+        writes=["display"],
+    )
     bindings = {
         "scene": scene,
         "bvh": None if backend is None else backend.arrays,

@@ -322,6 +322,7 @@ def render_frame(
     tile_primaries: bool = True,
     return_stats: bool = False,
     primary_fn: Optional[pathtracer.IntersectFn] = None,
+    return_gbuffer: bool = False,
 ) -> jax.Array:
     """One frame: primary rays → wavefront bounce loop → scatter to film
     [H, W, 3] raw radiance. Samples loop on the outside (decorrelated).
@@ -329,7 +330,10 @@ def render_frame(
     return_stats=True additionally returns the measured traced-ray count
     (primaries + alive closest-hit lanes + alive NEE shadow lanes) — the
     honest denominator for Mray/s (nominal 2·bounces/pixel overcounts
-    Russian-roulette-killed and escaped lanes)."""
+    Russian-roulette-killed and escaped lanes).
+    return_gbuffer=True additionally returns (depth [H,W], normal [H,W,3])
+    of sample 0's primary hits — the denoiser's edge-stopping inputs; costs
+    one extra [N] row gather, no extra rays."""
     w, h = settings.width, settings.height
     n = w * h
     tile = pick_tile(w, h) if tile_primaries else None
@@ -360,7 +364,8 @@ def render_frame(
 
     def run_wavefront(o, d, sampler, m):
         """Trace one wavefront of m = n·k lanes; returns per-lane radiance
-        (incl. primary-miss env) and the traced-ray meter."""
+        (incl. primary-miss env), the traced-ray meter, and the primary
+        hit."""
         # Tile-swizzled primaries are already packet-coherent; backends may
         # supply a sort-skipping primary trace (TraceBackend.primary_fn).
         hit0 = (primary_fn or intersect_fn)(o, d)
@@ -387,7 +392,7 @@ def render_frame(
             radiance = jnp.minimum(radiance, settings.radiance_clamp)
         env = pathtracer._sample_env(scene, d)
         radiance = radiance + jnp.where(~hit0.hit[:, None], env, 0.0)
-        return radiance, traced + jnp.int32(m)  # + primaries
+        return radiance, traced + jnp.int32(m), hit0  # + primaries
 
     if settings.sample_batch and settings.samples > 1:
         # ONE wavefront of samples·n lanes: denser ray populations sort
@@ -401,16 +406,19 @@ def render_frame(
             seed=jnp.concatenate([p[2].seed for p in parts], axis=0),
             index=parts[0][2].index,
         )
-        radiance, traced_total = run_wavefront(
+        radiance, traced_total, hit0 = run_wavefront(
             o, d, sampler, n * settings.samples
         )
         total = jnp.sum(radiance.reshape(settings.samples, n, 3), axis=0)
     else:
         total = jnp.zeros((n, 3), jnp.float32)
         traced_total = jnp.int32(0)
+        hit0 = None
         for s_i in range(settings.samples):
             o, d, sampler = sample_rays(s_i)
-            radiance, traced = run_wavefront(o, d, sampler, n)
+            radiance, traced, h0 = run_wavefront(o, d, sampler, n)
+            if hit0 is None:
+                hit0 = h0
             # The queue is never permuted (sorting happens inside
             # sorted_trace / the shadow batch), so radiance is already in
             # fixed pixel order — accumulate element-wise; no film scatter.
@@ -429,6 +437,28 @@ def render_frame(
         )
     else:
         total = total.reshape(h, w, 3)
+    outs = [total]
     if return_stats:
-        return total, traced_total
-    return total
+        outs.append(traced_total)
+    if return_gbuffer:
+        # Sample 0's primary hits, un-swizzled the same way as the film.
+        depth_l = hit0.t[:n]
+        nrm_l = jnp.where(
+            hit0.hit[:n, None],
+            scene_types.geometric_normals(scene, hit0.prim_id[:n]),
+            0.0,
+        )
+        gb = jnp.concatenate([depth_l[:, None], nrm_l], axis=1)
+        if tile is not None:
+            tw_, th_ = tile
+            gb = (
+                gb.reshape(h // th_, w // tw_, th_, tw_, 4)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(h, w, 4)
+            )
+        else:
+            gb = gb.reshape(h, w, 4)
+        outs.append((gb[..., 0], gb[..., 1:4]))
+    if len(outs) == 1:
+        return total
+    return tuple(outs)
