@@ -417,3 +417,21 @@ def test_instance_material_override():
     s2 = w.scene_instanced()
     assert s2.inst_mat_table is None
     assert int(s2.emissive.count) == 0
+
+
+def test_rank_push_matches_on_two_level(instanced):
+    """rank_push through the TLAS/BLAS path (instance hops share
+    handle_node) must reproduce the sort-network traversal exactly."""
+    from raytracer3_tpu.ops.pallas import traverse_kernel as tk
+
+    meshes, instances, _ = instanced
+    tl = tlas.build_two_level(meshes, instances, leaf_size=4, width=8)
+    pt = tk.pack_two_level(tl)
+    o, d = _rays(SUBLANES * 128)
+    base = tk.packet_intersect(pt, o, d, interpret=True, sublanes=SUBLANES)
+    rp = tk.packet_intersect(
+        pt, o, d, interpret=True, sublanes=SUBLANES, rank_push=True
+    )
+    np.testing.assert_array_equal(np.asarray(base.prim_id), np.asarray(rp.prim_id))
+    np.testing.assert_array_equal(np.asarray(base.inst), np.asarray(rp.inst))
+    np.testing.assert_allclose(np.asarray(base.t), np.asarray(rp.t), atol=1e-5)
