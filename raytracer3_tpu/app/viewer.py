@@ -80,6 +80,7 @@ class Viewer:
         self.preview = preview
         self._inflight: deque = deque()
         self._timings: deque = deque(maxlen=60)
+        self._last_display = None
 
     def update_camera(self, dt: float) -> bool:
         """editor_camera analog (camera.rs:127-178). Returns True if moved."""
@@ -112,6 +113,7 @@ class Viewer:
             disp, t_submit = self._inflight.popleft()
             jax.block_until_ready(disp)
             self._timings.append(time.perf_counter() - t_submit)
+            self._last_display = disp
             self._maybe_publish(disp)
         return display
 
@@ -127,14 +129,18 @@ class Viewer:
             )
 
     def drain(self):
+        """Block on all in-flight frames; returns the newest display (the
+        last drained, or the last previously completed one — a second drain
+        with nothing in flight must not lose the frame for `save`)."""
         disp = None
         while self._inflight:
             disp, t_submit = self._inflight.popleft()
             jax.block_until_ready(disp)
             self._timings.append(time.perf_counter() - t_submit)
         if disp is not None:
+            self._last_display = disp
             self._maybe_publish(disp)
-        return disp
+        return self._last_display
 
     @property
     def fps(self) -> float:
