@@ -33,7 +33,7 @@ BASELINE_MRAYS_PER_CHIP = 1920 * 1088 * 5 * 30 / 8 / 1e6  # ~= 39.17
 
 
 def run_config(tag, scene, host_tris, cam, width, height, bounces,
-               n_frames=3, samples=1):
+               n_frames=3, samples=1, fuse_shadow=False):
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
     from raytracer3_tpu.ops import rng as rng_mod
     from raytracer3_tpu.render import film as film_mod
@@ -48,6 +48,7 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces,
     settings = RenderSettings(
         width=width, height=height, bounces=bounces, samples=samples,
         sample_batch=samples > 1, radiance_clamp=50.0,
+        fuse_shadow=fuse_shadow,
     )
     blue_noise = jnp.asarray(rng_mod.generate_blue_noise(64))
 
@@ -62,6 +63,9 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces,
             sort_rays=not backend.self_sorting,  # treelets sort internally
             blue_noise=bn, return_stats=True,
             primary_fn=backend.bind_primary(bvh),
+            fused_fn=(
+                backend.bind_capped(bvh) if settings.fuse_shadow else None
+            ),
         )
         return film_mod.accumulate_progressive(film, radiance), traced
 

@@ -35,6 +35,7 @@ class TraceBackend:
         meta: Any = None,
         self_sorting: bool = False,
         primary_fn: Callable | None = None,
+        capped_fn: Callable | None = None,
     ):
         self.arrays = arrays
         self.intersect_fn = intersect_fn
@@ -47,6 +48,15 @@ class TraceBackend:
         # Optional cheaper trace for tile-ordered primary rays (already
         # packet-coherent: the internal driver sort can be skipped).
         self.primary_fn = primary_fn
+        # Optional closest-hit trace with a PER-RAY t cap
+        # ``(arrays, o, d, t_max[N]) -> Hit`` — lets the wavefront fuse the
+        # NEE shadow batch and the next-bounce rays into ONE launch
+        # (render/wavefront.py fused_fn): shadow lanes carry cap = light
+        # distance (occluded == Hit.hit, nearest-vs-any is irrelevant for a
+        # boolean), bounce lanes carry cap = BACKGROUND_DEPTH. Halves the
+        # per-bounce driver overhead (sort + gathers) and doubles the ray
+        # density per launch (denser populations sort into purer packets).
+        self.capped_fn = capped_fn
 
     # Eager convenience (tests, interactive) — closure pattern, avoid in jit.
     def intersect(self, o, d):
@@ -67,3 +77,10 @@ class TraceBackend:
         """Closure for the primary trace (falls back to intersect_fn)."""
         fn = self.primary_fn or self.intersect_fn
         return lambda o, d: fn(arrays, o, d)
+
+    def bind_capped(self, arrays):
+        """Closure for the per-ray-capped closest-hit trace, or None when the
+        backend doesn't provide one (callers fall back to split launches)."""
+        if self.capped_fn is None:
+            return None
+        return lambda o, d, t: self.capped_fn(arrays, o, d, t)

@@ -179,4 +179,29 @@ def brute_backend(scene=None, host_tris=None, tris=None):
             o, d, arrays["v0"], arrays["v1"], arrays["v2"], t_max=tmax
         )
 
-    return TraceBackend({"v0": v0, "v1": v1, "v2": v2}, isect_fn, occl_fn)
+    def capped_fn(arrays, o, d, tmax):
+        # Per-ray-capped closest hit (fused shadow+bounce launches,
+        # ops/backend.py capped_fn contract).
+        tm = jnp.asarray(tmax, jnp.float32)
+        if tm.ndim == 1:
+            tm = tm[:, None]
+        ov = o[:, None, :]
+        dv = d[:, None, :]
+        t, u, v, hit = ray_triangle(
+            ov, dv, arrays["v0"][None], arrays["v1"][None], arrays["v2"][None],
+            1e-4, tm,
+        )
+        best = jnp.argmin(t, axis=1)
+        n = jnp.arange(o.shape[0])
+        best_t = t[n, best]
+        found = hit[n, best]
+        return Hit(
+            t=jnp.where(found, best_t, BACKGROUND_DEPTH),
+            uv=jnp.stack([u[n, best], v[n, best]], axis=-1),
+            prim_id=jnp.where(found, best, -1).astype(jnp.int32),
+            hit=found,
+        )
+
+    return TraceBackend(
+        {"v0": v0, "v1": v1, "v2": v2}, isect_fn, occl_fn, capped_fn=capped_fn
+    )

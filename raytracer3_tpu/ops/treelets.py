@@ -695,6 +695,19 @@ def treelet_backend(
             half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
         ).hit
 
+    def capped_fn(arrays, o, d, tmax):
+        # Fused shadow+bounce launches (ops/backend.py capped_fn): closest
+        # hit with per-ray caps — shadow lanes (cap = light distance) read
+        # Hit.hit as the occlusion bit, bounce lanes carry cap = BG. Loses
+        # any-hit's resolved-segment early-skip for the shadow lanes, gains
+        # one driver sort + 2× ray density per launch. A/B via
+        # RenderSettings.fuse_shadow.
+        return treelet_intersect(
+            _rebind(arrays), o, d, t_max=tmax, interpret=interpret,
+            sublanes=sublanes, half_leaf=half_leaf, div_free=div_free,
+            rank_push=rank_push,
+        )
+
     def primary_fn(arrays, o, d):
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
@@ -705,4 +718,5 @@ def treelet_backend(
     return TraceBackend(
         arrays, isect_fn, occl_fn, meta=tt, self_sorting=True,
         primary_fn=primary_fn if primary_presorted else None,
+        capped_fn=capped_fn,
     )

@@ -244,9 +244,8 @@ def _env_mix_q(scene: scene_types.Scene) -> float:
     return 0.5
 
 
-def _nee_contribution(
+def _nee_prepare(
     scene: scene_types.Scene,
-    occluded_fn: OccludedFn,
     hit_pos: jax.Array,
     normal: jax.Array,
     wo_world: jax.Array,
@@ -255,18 +254,17 @@ def _nee_contribution(
     sampler: rng.Sampler,
     settings: RenderSettings,
     alive_mask: jax.Array | None = None,
-    sort_shadow: bool = False,
-    sort_bounds=None,
-    return_count: bool = False,
 ):
-    """One-sample next-event estimation over the light mixture: area lights
-    (area-proportional pick) and, when the scene has an environment, the
-    alias-sampled env (q = _env_mix_q). Visibility by shadow ray,
-    balance-heuristic MIS against BRDF sampling.
+    """Everything of one-sample NEE except the shadow traversal: samples the
+    light mixture (area lights by area CDF; alias-sampled env with mixture
+    probability _env_mix_q), evaluates the BRDF toward it, and MIS-weights
+    (balance heuristic) against BRDF sampling.
 
-    return_count=True additionally returns the number of lanes whose shadow
-    ray actually traversed (pre_ok) — the honest shadow-ray meter; lanes
-    with invalid/backfacing samples are parked and cost ~nothing."""
+    Returns (shadow_o, shadow_d, t_shadow, pre_ok, contrib, sampler):
+    ``contrib`` is the UNSHADOWED radiance — callers trace the shadow ray
+    (separately, or fused into the bounce launch via a backend capped_fn)
+    and keep ``contrib`` where ``pre_ok & ~blocked``. Lanes with invalid/
+    backfacing samples have pre_ok False and shadow_o parked at 1e30."""
     em = scene.emissive
     has_area = int(em.tri_ids.shape[0]) > 0
     if has_area:
@@ -366,6 +364,38 @@ def _nee_contribution(
     if alive_mask is not None:
         pre_ok = pre_ok & alive_mask
     shadow_o = jnp.where(pre_ok[:, None], hit_pos + normal * 1e-3, 1e30)
+    contrib = (
+        ev.value
+        * le_sel
+        * (cos_s * mis_w / jnp.maximum(pdf_sel, 1e-20))[:, None]
+    )
+    return shadow_o, wi_world, t_shadow, pre_ok, contrib, sampler
+
+
+def _nee_contribution(
+    scene: scene_types.Scene,
+    occluded_fn: OccludedFn,
+    hit_pos: jax.Array,
+    normal: jax.Array,
+    wo_world: jax.Array,
+    surface: scene_types.SurfaceInfo,
+    u3: jax.Array,
+    sampler: rng.Sampler,
+    settings: RenderSettings,
+    alive_mask: jax.Array | None = None,
+    sort_shadow: bool = False,
+    sort_bounds=None,
+    return_count: bool = False,
+):
+    """_nee_prepare + the shadow traversal: one-sample NEE radiance.
+
+    return_count=True additionally returns the number of lanes whose shadow
+    ray actually traversed (pre_ok) — the honest shadow-ray meter; lanes
+    with invalid/backfacing samples are parked and cost ~nothing."""
+    shadow_o, wi_world, t_shadow, pre_ok, contrib, sampler = _nee_prepare(
+        scene, hit_pos, normal, wo_world, surface, u3, sampler, settings,
+        alive_mask=alive_mask,
+    )
     if sort_shadow:
         # Coherence-sort the shadow batch into the traversal and scatter the
         # occlusion bits back — the queue itself stays in pixel order (see
@@ -384,11 +414,6 @@ def _nee_contribution(
     else:
         blocked = occluded_fn(shadow_o, wi_world, t_shadow)
 
-    contrib = (
-        ev.value
-        * le_sel
-        * (cos_s * mis_w / jnp.maximum(pdf_sel, 1e-20))[:, None]
-    )
     ok = pre_ok & ~blocked
     li_out = jnp.where(ok[:, None], contrib, 0.0)
     if return_count:

@@ -61,10 +61,20 @@ def wavefront_pipeline(
         isect, occl = _resolve_backend(
             backend, intersect_fn, occluded_fn, bindings
         )
+        fused = (
+            backend.bind_capped(bindings["bvh"])
+            if (settings.fuse_shadow and backend is not None)
+            else None
+        )
         out = wavefront.render_frame(
             bindings["scene"], cam, settings, frame_index, isect, occl,
             sort_rays=sort_rays, blue_noise=bindings.get("blue_noise"),
             return_gbuffer=denoise,
+            primary_fn=(
+                backend.bind_primary(bindings["bvh"])
+                if backend is not None else None
+            ),
+            fused_fn=fused,
         )
         if denoise:
             rad, (gd, gn) = out

@@ -142,10 +142,22 @@ def trace_wavefront(
     occluded_fn: Optional[pathtracer.OccludedFn] = None,
     sort_rays: bool = False,
     rr_start: int = 3,
+    fused_fn=None,
 ) -> RayQueue:
     """Run the bounce loop on an initialized wavefront whose first hit is
     already recorded in (depth, prim_id, uv, alive). Returns the final queue
-    with radiance accumulated (pixel order = q.pixel_id)."""
+    with radiance accumulated (pixel order = q.pixel_id).
+
+    fused_fn: optional per-ray-capped closest-hit trace ``(o, d, t_max[N])
+    -> Hit`` (TraceBackend.bind_capped). When given (and NEE is active),
+    each bounce traces its NEE shadow batch and its next-bounce rays in ONE
+    2N-lane launch instead of two: one driver sort/gather set instead of
+    two, and 2× the ray density per launch (denser populations sort into
+    purer traversal packets — tools/probe_r3.py --what density). Shadow
+    lanes carry cap = light distance and read Hit.hit as the occlusion bit
+    (nearest-vs-any is irrelevant for a boolean); the trade is losing the
+    any-hit resolved-segment early-skip. Radiance is bit-compatible with the
+    split path (same sampler draws, same occlusion booleans)."""
     q_env = pathtracer._env_mix_q(scene)
     use_nee = occluded_fn is not None and (
         int(scene.emissive.tri_ids.shape[0]) > 0 or q_env > 0.0
@@ -197,14 +209,31 @@ def trace_wavefront(
         onb = mathx.build_orthonormal_basis(nrm)
         hit_pos = q.origin + q.depth[:, None] * q.direction
 
+        fuse = fused_fn is not None and use_nee
+        shadow = None
         if use_nee:
             u_l, sampler = sampler.next3()
-            li, sampler, n_shadow = pathtracer._nee_contribution(
-                scene, occluded_fn, hit_pos, nrm, -q.direction, surface, u_l,
-                sampler, settings, alive_mask=q.alive, sort_shadow=sort_rays,
-                sort_bounds=sort_bounds, return_count=True,
-            )
-            radiance = radiance + jnp.where(q.alive[:, None], q.throughput * li, 0.0)
+            if fuse:
+                # Defer the shadow traversal: it rides the next-bounce launch
+                # below (same sampler draws as the split path).
+                sh_o, sh_d, sh_t, pre_ok, contrib, sampler = (
+                    pathtracer._nee_prepare(
+                        scene, hit_pos, nrm, -q.direction, surface, u_l,
+                        sampler, settings, alive_mask=q.alive,
+                    )
+                )
+                shadow = (sh_o, sh_d, sh_t, pre_ok, contrib)
+                n_shadow = jnp.sum(pre_ok.astype(jnp.int32))
+            else:
+                li, sampler, n_shadow = pathtracer._nee_contribution(
+                    scene, occluded_fn, hit_pos, nrm, -q.direction, surface,
+                    u_l, sampler, settings, alive_mask=q.alive,
+                    sort_shadow=sort_rays, sort_bounds=sort_bounds,
+                    return_count=True,
+                )
+                radiance = radiance + jnp.where(
+                    q.alive[:, None], q.throughput * li, 0.0
+                )
 
         # BRDF sample.
         if settings.diffuse_only:
@@ -239,7 +268,24 @@ def trace_wavefront(
         # sorting, fully-dead packets cost one traversal iteration.
         alive_at_trace = alive
         park = jnp.where(alive[:, None], hit_pos, 1e30)
-        if sort_rays:
+        if fuse:
+            # ONE launch: [shadow batch ; bounce rays]. Shadow lanes cap at
+            # the light distance (Hit.hit == occluded), bounce lanes at BG.
+            sh_o, sh_d, sh_t, pre_ok, contrib = shadow
+            m = park.shape[0]
+            o2 = jnp.concatenate([sh_o, park], axis=0)
+            d2 = jnp.concatenate([sh_d, new_dir], axis=0)
+            cap2 = jnp.concatenate(
+                [sh_t, jnp.full((m,), mathx.BACKGROUND_DEPTH, jnp.float32)]
+            )
+            h2 = fused_fn(o2, d2, cap2)
+            blocked = h2.hit[:m]
+            h = jax.tree.map(lambda a: a[m:], h2)
+            ok = pre_ok & ~blocked
+            radiance = radiance + jnp.where(
+                (q.alive & ok)[:, None], q.throughput * contrib, 0.0
+            )
+        elif sort_rays:
             h = sorted_trace(intersect_fn, park, new_dir, alive, sort_bounds)
         else:
             h = intersect_fn(park, new_dir)
@@ -323,6 +369,7 @@ def render_frame(
     return_stats: bool = False,
     primary_fn: Optional[pathtracer.IntersectFn] = None,
     return_gbuffer: bool = False,
+    fused_fn=None,
 ) -> jax.Array:
     """One frame: primary rays → wavefront bounce loop → scatter to film
     [H, W, 3] raw radiance. Samples loop on the outside (decorrelated).
@@ -385,7 +432,8 @@ def render_frame(
             inst=hit0.inst,
         )
         q, traced = trace_wavefront(
-            scene, intersect_fn, q, sampler, settings, occluded_fn, sort_rays
+            scene, intersect_fn, q, sampler, settings, occluded_fn, sort_rays,
+            fused_fn=fused_fn,
         )
         radiance = q.radiance
         if settings.radiance_clamp > 0.0:

@@ -47,6 +47,11 @@ class RenderSettings:
     # density on Sponza-scale (tools/probe_r3.py --what density) — at the
     # cost of samples× the queue memory. No effect when samples == 1.
     sample_batch: bool = False
+    # Fuse each bounce's NEE shadow batch into the next-bounce launch (one
+    # 2N-lane capped closest-hit trace instead of an any-hit + a closest-hit
+    # launch). Needs a backend capped_fn (treelets/bruteforce provide one);
+    # silently ignored otherwise. Radiance is bit-compatible either way.
+    fuse_shadow: bool = False
 
     @property
     def n_pixels(self) -> int:

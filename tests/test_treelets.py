@@ -11,7 +11,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from raytracer3_tpu.ops import intersect, treelets
+from raytracer3_tpu.ops import intersect, mathx, treelets
 
 pytestmark = pytest.mark.slow  # interpret-mode Pallas kernels
 
@@ -101,6 +101,39 @@ def test_zero_tmax_parks_lane(soup_tt):
     )
     np.testing.assert_array_equal(
         np.asarray(hit.hit)[: n // 2], np.asarray(hb.hit)[: n // 2]
+    )
+
+
+def test_capped_fn_mixed_population(soup_tt):
+    # The fused shadow+bounce launch (ops/backend.py capped_fn): half the
+    # lanes are "shadow" rays with finite caps, half are "bounce" rays with
+    # cap BG — one capped closest-hit must serve both: Hit.hit == occluded
+    # for the shadow half, full nearest hits for the bounce half.
+    (v0, v1, v2), tt = soup_tt
+    b = treelets.treelet_backend(
+        host_tris=(v0, v1, v2), leaf_size=6, width=8, max_tris=2048,
+        sublanes=8, interpret=True,
+    )
+    n = 8 * 128 * 2
+    o, d = _rays(n, seed=21)
+    rng = np.random.default_rng(23)
+    cap = np.full((n,), mathx.BACKGROUND_DEPTH, np.float32)
+    cap[: n // 2] = rng.uniform(1.0, 30.0, (n // 2,)).astype(np.float32)
+    fused = b.bind_capped(b.arrays)
+    hit = fused(o, d, jnp.asarray(cap))
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    expected_sh = np.asarray(hb.hit)[: n // 2] & (
+        np.asarray(hb.t)[: n // 2] < cap[: n // 2]
+    )
+    np.testing.assert_array_equal(np.asarray(hit.hit)[: n // 2], expected_sh)
+    m = np.asarray(hb.hit)[n // 2 :]
+    np.testing.assert_array_equal(
+        np.asarray(hit.hit)[n // 2 :], np.asarray(hb.hit)[n // 2 :]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit.prim_id)[n // 2 :][m], np.asarray(hb.prim_id)[n // 2 :][m]
     )
 
 

@@ -222,6 +222,55 @@ class TestTileSwizzle:
         np.testing.assert_array_equal(a, b)
 
 
+class TestFusedShadow:
+    """fuse_shadow merges each bounce's NEE shadow batch into the next-bounce
+    launch (one capped closest-hit trace, ops/backend.py capped_fn). Sampler
+    draws and occlusion booleans are unchanged, so the image must match the
+    split path bit-for-bit (up to trace-order float ties)."""
+
+    def _ab(self, scene, cam, bounces=3):
+        import dataclasses
+
+        from raytracer3_tpu.ops import intersect as isect_mod
+        from raytracer3_tpu.utils.config import RenderSettings
+
+        backend = isect_mod.brute_backend(scene=scene)
+        isect, occl = backend.bind(backend.arrays)
+        fused = backend.bind_capped(backend.arrays)
+        assert fused is not None
+        s = RenderSettings(
+            width=RES, height=RES, bounces=bounces, samples=1,
+            diffuse_only=True,
+        )
+        a = np.asarray(
+            wavefront.render_frame(scene, cam, s, 7, isect, occl)
+        )
+        s_f = dataclasses.replace(s, fuse_shadow=True)
+        b = np.asarray(
+            wavefront.render_frame(
+                scene, cam, s_f, 7, isect, occl, fused_fn=fused
+            )
+        )
+        return a, b
+
+    def test_area_lights_match_split_path(self):
+        scene = analytic.cornell_box()
+        a, b = self._ab(scene, analytic.default_camera())
+        assert b.max() > 0
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+    def test_env_mixture_matches_split_path(self):
+        # Env NEE lanes carry cap ≈ BACKGROUND_DEPTH — the fused launch must
+        # treat a miss within that cap as unoccluded.
+        from raytracer3_tpu.scene import procedural
+
+        scene, _ = procedural.atrium_scene(detail=1, return_host=True)
+        cam = procedural.atrium_camera(aspect=1.0)
+        a, b = self._ab(scene, cam, bounces=2)
+        assert b.max() > 0
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 class TestSampleBatch:
     def test_batched_samples_match_sequential_loop(self):
         # sample_batch concatenates all samples into ONE wavefront; per-lane

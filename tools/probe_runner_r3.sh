@@ -22,4 +22,6 @@ timeout 2400 python tools/probe_r3.py --what stats --max-tris 98304 --leaf-size 
 # 7. Frame-side attribution at 1080p (the unexplained ~40 ms/bounce):
 timeout 2400 python tools/frame_probe.py --width 1920 --height 1088 --stub > /tmp/frame_stub_1080.log 2>&1
 timeout 2400 python tools/frame_probe.py --width 1920 --height 1088 > /tmp/frame_real_1080.log 2>&1
+# 8. Fused shadow+bounce launches A/B (RenderSettings.fuse_shadow).
+timeout 3600 python tools/probe_fused.py > /tmp/probe_fused.log 2>&1
 echo RUNNER_DONE
