@@ -80,7 +80,11 @@ class TraceBackend:
 
     def bind_capped(self, arrays):
         """Closure for the per-ray-capped closest-hit trace, or None when the
-        backend doesn't provide one (callers fall back to split launches)."""
+        backend doesn't provide one (callers fall back to split launches).
+        The optional ``anyhit`` ([N] bool) flags lanes that may retire on
+        their first accepted hit (shadow lanes in fused launches)."""
         if self.capped_fn is None:
             return None
-        return lambda o, d, t: self.capped_fn(arrays, o, d, t)
+        return lambda o, d, t, anyhit=None: self.capped_fn(
+            arrays, o, d, t, anyhit
+        )

@@ -179,9 +179,10 @@ def brute_backend(scene=None, host_tris=None, tris=None):
             o, d, arrays["v0"], arrays["v1"], arrays["v2"], t_max=tmax
         )
 
-    def capped_fn(arrays, o, d, tmax):
+    def capped_fn(arrays, o, d, tmax, anyhit=None):
         # Per-ray-capped closest hit (fused shadow+bounce launches,
-        # ops/backend.py capped_fn contract).
+        # ops/backend.py capped_fn contract). ``anyhit`` flags are a pure
+        # optimization hint — irrelevant for the dense all-pairs oracle.
         tm = jnp.asarray(tmax, jnp.float32)
         if tm.ndim == 1:
             tm = tm[:, None]

@@ -178,6 +178,7 @@ def _kernel(
     half_leaf: bool = False,
     div_free: bool = False,
     rank_push: bool = False,
+    mixed_hit: bool = False,
 ):
     """Packet traversal body. Two invocation shapes:
 
@@ -190,6 +191,14 @@ def _kernel(
       blocks [1, Mt, row_len].
       The out block stays resident across e, so best-t accumulates and
       later (farther) treelets are t-culled (ops/treelets.py driver).
+
+    mixed_hit=True (with any_hit=False) reads rays row 7 — otherwise a
+    redundant copy of the row-6 t_cap — as a per-LANE any-hit flag: flagged
+    lanes retire on their first accepted hit (best-t driven to 0, so every
+    later box test fails for them) while unflagged lanes keep exact
+    closest-hit semantics. This is the fused shadow+bounce launch shape
+    (render/wavefront.py fused_fn): shadow lanes get any-hit-grade culling
+    inside a closest-hit traversal.
     """
     if seg:
         # slist_ref drives the BlockSpec index_maps only (table DMA).
@@ -637,6 +646,10 @@ def _kernel(
                     gdx, gdy, gdz = (
                         ray_slice(3, sl), ray_slice(4, sl), ray_slice(5, sl)
                     )
+                    if mixed_hit:
+                        # Per-lane any-hit flag (rays row 7; world-invariant
+                        # so read from rays_ref even under two_level's tray).
+                        ah = rays_ref[0, 7, sl] > 0.5
                     bt = out_ref[0, 0, sl]
                     bu = out_ref[0, 1, sl]
                     bv = out_ref[0, 2, sl]
@@ -683,7 +696,19 @@ def _kernel(
                                 & (t2 * bden < bnum * adet)
                                 & (tid >= 0.0)
                             )
-                            bnum = jnp.where(ok, t2, bnum)
+                            # Any-hit: retire blocked lanes by driving their
+                            # best-t to 0 — every later box test then fails
+                            # (tf <= 0 < t_min <= tn), so group masks shrink
+                            # as blockage accumulates. Callers read only the
+                            # hit boolean in any-hit mode (t is unordered).
+                            # mixed_hit applies the same per flagged LANE.
+                            if any_hit:
+                                t_new = jnp.zeros_like(t2)
+                            elif mixed_hit:
+                                t_new = jnp.where(ah, 0.0, t2)
+                            else:
+                                t_new = t2
+                            bnum = jnp.where(ok, t_new, bnum)
                             bden = jnp.where(ok, adet, bden)
                             bu2 = jnp.where(ok, u2, bu2)
                             bv2 = jnp.where(ok, v2, bv2)
@@ -726,7 +751,16 @@ def _kernel(
                                 & (tt < bt)
                                 & (tid >= 0.0)
                             )
-                            bt = jnp.where(ok, tt, bt)
+                            # Any-hit: best-t 0 retires the lane from every
+                            # later box test (see div_free branch note);
+                            # mixed_hit retires only flagged lanes.
+                            if any_hit:
+                                t_new = jnp.zeros_like(tt)
+                            elif mixed_hit:
+                                t_new = jnp.where(ah, 0.0, tt)
+                            else:
+                                t_new = tt
+                            bt = jnp.where(ok, t_new, bt)
                             bu = jnp.where(ok, uu, bu)
                             bv = jnp.where(ok, vv, bv)
                             bid = jnp.where(ok, tid, bid)
@@ -1028,11 +1062,14 @@ def packet_intersect_segments(
     half_leaf: bool = False,
     div_free: bool = False,
     rank_push: bool = False,
+    anyhit_row: jax.Array | None = None,  # [S*p] f32 >0.5 = any-hit lane
 ) -> jax.Array:
     """Segment-grid packet traversal over per-treelet tables (see
     ops/treelets.py driver + _kernel docstring). Returns [4, S*p] rows
     (t, u, v, prim-id-as-float) in the caller's ray order.
 
+    anyhit_row: per-LANE any-hit flags for mixed shadow+bounce launches
+    (rides the otherwise-redundant rays row 7; see _kernel mixed_hit).
     stats=True additionally returns per-segment [S, 8] int32 counters
     (node pops, leaf pops, node activations, leaf activations, live steps)
     accumulated over the segment's candidate steps."""
@@ -1046,8 +1083,9 @@ def packet_intersect_segments(
     seg_gmask = seg_gmask.reshape(s_count, -1)
 
     o, d = origins, directions
+    row7 = t_cap if anyhit_row is None else anyhit_row
     rays = jnp.stack(
-        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_cap, t_cap],
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_cap, row7],
         axis=0,
     ).reshape(8, s_count, sublanes, 128).transpose(1, 0, 2, 3)
 
@@ -1056,6 +1094,7 @@ def packet_intersect_segments(
         _kernel, leaf_size=tt.leaf_size, any_hit=any_hit, t_min=t_min,
         width=tt.width, stack=stack, seg=True, stats=stats,
         half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
+        mixed_hit=anyhit_row is not None,
     )
     row_len = tt.node_tables.shape[2]
     lane = tt.cluster_tables.shape[2]

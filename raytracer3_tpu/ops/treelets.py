@@ -264,6 +264,7 @@ def _run_segments(
     half_leaf: bool = False,
     div_free: bool = False,
     rank_push: bool = False,
+    anyhit_row=None,
 ):
     """Segment metadata + kernel launch: per-segment near-first candidate
     lists (sentinel slots repeat the last valid id so Pallas keeps the
@@ -319,7 +320,7 @@ def _run_segments(
         tt, seg_list, seg_gmask, o, d, cap,
         t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
         stats=stats, half_leaf=half_leaf, div_free=div_free,
-        rank_push=rank_push,
+        rank_push=rank_push, anyhit_row=anyhit_row,
     )
 
 
@@ -339,10 +340,15 @@ def treelet_intersect(
     half_leaf: bool = False,
     div_free: bool = False,
     rank_push: bool = False,
+    anyhit_mask=None,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
 
     t_max may be scalar or per-ray [N] (shadow distances; 0 parks a lane).
+    anyhit_mask ([N] bool): per-LANE any-hit flags for mixed shadow+bounce
+    launches — flagged lanes retire on their first accepted hit (Hit.hit is
+    the occlusion bit; their t is unordered), unflagged lanes keep exact
+    closest-hit results (traverse_kernel mixed_hit).
     presorted=True skips the coherence sort (caller already ordered rays).
     sort_chunk=g > 1 sorts g-ray chunks by their min key instead of single
     rays (N/g-key argsorts, g-contiguous gathers). MEASURED NEGATIVE on
@@ -366,6 +372,11 @@ def treelet_intersect(
     o = jnp.pad(origins, ((0, n_pad - n), (0, 0)), constant_values=1e30)
     d = jnp.pad(directions, ((0, n_pad - n), (0, 0)), constant_values=1.0)
     cap = jnp.pad(t_cap, (0, n_pad - n))  # zero cap → padding never hits
+    ah = (
+        None
+        if anyhit_mask is None
+        else jnp.pad(anyhit_mask.astype(jnp.float32), (0, n_pad - n))
+    )
 
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
 
@@ -401,8 +412,11 @@ def treelet_intersect(
             order = (cperm[:, None] * g + off).reshape(-1)
         else:
             order = jnp.argsort(key)
-        packed = jnp.concatenate([o, d, cap[:, None]], axis=1)[order]
+        cols = [o, d, cap[:, None]] + ([] if ah is None else [ah[:, None]])
+        packed = jnp.concatenate(cols, axis=1)[order]
         o, d, cap = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+        if ah is not None:
+            ah = packed[:, 7]
         # Segment metadata needs per-SORTED-ray slabs: RECOMPUTE densely on
         # the sorted rays (≈1 ms of VPU) instead of gathering the [N, K]
         # tn/want matrices through the permutation — XLA's per-lane gathers
@@ -415,7 +429,7 @@ def treelet_intersect(
         tt, o, d, cap, want_s, tn_s,
         t_min=t_min, any_hit=any_hit, interpret=interpret,
         sublanes=sublanes, e_cap=e_cap, stats=stats, half_leaf=half_leaf,
-        div_free=div_free, rank_push=rank_push,
+        div_free=div_free, rank_push=rank_push, anyhit_row=ah,
     )
     if stats:
         out, stat_rows = out
@@ -695,17 +709,18 @@ def treelet_backend(
             half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
         ).hit
 
-    def capped_fn(arrays, o, d, tmax):
+    def capped_fn(arrays, o, d, tmax, anyhit=None):
         # Fused shadow+bounce launches (ops/backend.py capped_fn): closest
         # hit with per-ray caps — shadow lanes (cap = light distance) read
-        # Hit.hit as the occlusion bit, bounce lanes carry cap = BG. Loses
-        # any-hit's resolved-segment early-skip for the shadow lanes, gains
-        # one driver sort + 2× ray density per launch. A/B via
+        # Hit.hit as the occlusion bit, bounce lanes carry cap = BG. The
+        # per-lane ``anyhit`` flags give shadow lanes first-hit retirement
+        # inside the closest-hit traversal (kernel mixed_hit). Gains one
+        # driver sort + 2× ray density per launch; A/B via
         # RenderSettings.fuse_shadow.
         return treelet_intersect(
             _rebind(arrays), o, d, t_max=tmax, interpret=interpret,
             sublanes=sublanes, half_leaf=half_leaf, div_free=div_free,
-            rank_push=rank_push,
+            rank_push=rank_push, anyhit_mask=anyhit,
         )
 
     def primary_fn(arrays, o, d):

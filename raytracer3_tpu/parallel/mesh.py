@@ -175,6 +175,7 @@ def render_wavefront_tiled(
     mesh: Mesh | None = None,
     axis: str = "tiles",
     sort_rays: bool = False,
+    capped_fn=None,
 ) -> jax.Array:
     """The PRODUCTION wavefront renderer sharded row-wise over the mesh:
     each chip owns an image-row block, builds its ray queue from global pixel
@@ -185,6 +186,8 @@ def render_wavefront_tiled(
 
     intersect_fn/occluded_fn follow the TraceBackend convention:
     fn(arrays, o, d[, t_max]) with `arrays` the backend's table pytree.
+    capped_fn (TraceBackend.capped_fn) + settings.fuse_shadow enables the
+    fused shadow+bounce launch per bounce (render/wavefront.py fused_fn).
     """
     from raytracer3_tpu.render import wavefront
 
@@ -222,8 +225,14 @@ def render_wavefront_tiled(
             uv=hit0.uv,
             inst=hit0.inst,
         )
+        fused = (
+            (lambda o, d, t, anyhit=None: capped_fn(arrays, o, d, t, anyhit))
+            if (capped_fn is not None and settings.fuse_shadow)
+            else None
+        )
         q, _traced = wavefront.trace_wavefront(
-            scene_, isect, q, sampler, settings, occl, sort_rays
+            scene_, isect, q, sampler, settings, occl, sort_rays,
+            fused_fn=fused,
         )
         radiance = q.radiance
         if settings.radiance_clamp > 0.0:

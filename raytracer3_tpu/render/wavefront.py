@@ -278,7 +278,12 @@ def trace_wavefront(
             cap2 = jnp.concatenate(
                 [sh_t, jnp.full((m,), mathx.BACKGROUND_DEPTH, jnp.float32)]
             )
-            h2 = fused_fn(o2, d2, cap2)
+            # Shadow lanes may retire on their first accepted hit (per-lane
+            # any-hit flags, kernel mixed_hit); bounce lanes stay exact.
+            ah2 = jnp.concatenate(
+                [jnp.ones((m,), bool), jnp.zeros((m,), bool)]
+            )
+            h2 = fused_fn(o2, d2, cap2, ah2)
             blocked = h2.hit[:m]
             h = jax.tree.map(lambda a: a[m:], h2)
             ok = pre_ok & ~blocked

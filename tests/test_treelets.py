@@ -120,21 +120,35 @@ def test_capped_fn_mixed_population(soup_tt):
     cap = np.full((n,), mathx.BACKGROUND_DEPTH, np.float32)
     cap[: n // 2] = rng.uniform(1.0, 30.0, (n // 2,)).astype(np.float32)
     fused = b.bind_capped(b.arrays)
-    hit = fused(o, d, jnp.asarray(cap))
     hb = intersect.intersect_bruteforce(
         o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
     )
     expected_sh = np.asarray(hb.hit)[: n // 2] & (
         np.asarray(hb.t)[: n // 2] < cap[: n // 2]
     )
-    np.testing.assert_array_equal(np.asarray(hit.hit)[: n // 2], expected_sh)
-    m = np.asarray(hb.hit)[n // 2 :]
-    np.testing.assert_array_equal(
-        np.asarray(hit.hit)[n // 2 :], np.asarray(hb.hit)[n // 2 :]
-    )
-    np.testing.assert_array_equal(
-        np.asarray(hit.prim_id)[n // 2 :][m], np.asarray(hb.prim_id)[n // 2 :][m]
-    )
+    # With and without per-lane any-hit retirement flags on the shadow half
+    # (kernel mixed_hit): booleans identical, bounce half stays exact.
+    ah = np.zeros((n,), bool)
+    ah[: n // 2] = True
+    for mask in (None, jnp.asarray(ah)):
+        hit = fused(o, d, jnp.asarray(cap), mask)
+        np.testing.assert_array_equal(
+            np.asarray(hit.hit)[: n // 2], expected_sh
+        )
+        m = np.asarray(hb.hit)[n // 2 :]
+        np.testing.assert_array_equal(
+            np.asarray(hit.hit)[n // 2 :], np.asarray(hb.hit)[n // 2 :]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit.prim_id)[n // 2 :][m],
+            np.asarray(hb.prim_id)[n // 2 :][m],
+        )
+        mt = np.asarray(hit.hit)[n // 2 :]
+        np.testing.assert_allclose(
+            np.asarray(hit.t)[n // 2 :][mt],
+            np.asarray(hb.t)[n // 2 :][mt],
+            rtol=1e-4,
+        )
 
 
 def test_backend_and_single_treelet():
