@@ -179,6 +179,7 @@ def _kernel(
     div_free: bool = False,
     rank_push: bool = False,
     mixed_hit: bool = False,
+    seg_cull: bool = False,
 ):
     """Packet traversal body. Two invocation shapes:
 
@@ -201,8 +202,13 @@ def _kernel(
     inside a closest-hit traversal.
     """
     if seg:
-        # slist_ref drives the BlockSpec index_maps only (table DMA).
-        slist_ref, sgm_ref, rays_ref, nodes_ref, clusters_ref, out_ref, *m = refs
+        # slist_ref drives the BlockSpec index_maps only (table DMA);
+        # sentry_ref carries each candidate step's min entry distance
+        # (per-step t-cull, see below).
+        (
+            slist_ref, sentry_ref, sgm_ref,
+            rays_ref, nodes_ref, clusters_ref, out_ref, *m,
+        ) = refs
         del slist_ref
         inst_ref = None
         stats_ref = m[0] if stats else None
@@ -282,6 +288,9 @@ def _kernel(
             sgm_ref[pl.program_id(0), seg_e * n_words + w]
             for w in range(n_words)
         ]
+        seg_entry_v = (
+            sentry_ref[pl.program_id(0), seg_e] if seg_cull else None
+        )
         seg_srow = jax.lax.rem(pl.program_id(0), 8) if stats else None
 
     def scoped(*scratch):
@@ -355,6 +364,21 @@ def _kernel(
             if any_hit:
                 resolved = (out_ref[0, 3] >= 0.0) | (t_cap <= t_min)
                 go = go & jnp.logical_not(jnp.all(resolved))
+            if seg_cull:
+                # Per-step t-cull: skip the whole candidate step once every
+                # lane's best-t is at or below the step's min entry distance
+                # — ONE max-reduce per live step (~E per segment), not per
+                # pop (round-2's per-pop variant cost 10-25% and culled
+                # nothing because BG-pinned lanes kept the bound infinite;
+                # scene-exit caps + any-hit retirement make the max finite
+                # now). Step 0 is the nearest candidate — never cullable,
+                # and out_ref was only just initialized there.
+                bt_max = jax.lax.cond(
+                    go & (seg_e > 0),
+                    lambda: jnp.max(out_ref[0, 0]),
+                    lambda: jnp.float32(3e38),
+                )
+                go = go & (bt_max > seg_entry_v)
             root_bits = seg_gm
             sp0 = jnp.where(go, jnp.int32(1), jnp.int32(0))
         else:
@@ -1050,6 +1074,7 @@ def packet_intersect(
 def packet_intersect_segments(
     tt,
     seg_list: jax.Array,  # [S, E] int32 treelet id per candidate slot (DMA)
+    seg_entry: jax.Array,  # [S, E] f32 min entry distance (per-step t-cull)
     seg_gmask: jax.Array,  # [S, E, W] int32 group-activation words (0 = skip)
     origins: jax.Array,  # [S*p, 3] rays already in segment order
     directions: jax.Array,  # [S*p, 3]
@@ -1063,6 +1088,7 @@ def packet_intersect_segments(
     div_free: bool = False,
     rank_push: bool = False,
     anyhit_row: jax.Array | None = None,  # [S*p] f32 >0.5 = any-hit lane
+    step_cull: bool = False,
 ) -> jax.Array:
     """Segment-grid packet traversal over per-treelet tables (see
     ops/treelets.py driver + _kernel docstring). Returns [4, S*p] rows
@@ -1094,43 +1120,43 @@ def packet_intersect_segments(
         _kernel, leaf_size=tt.leaf_size, any_hit=any_hit, t_min=t_min,
         width=tt.width, stack=stack, seg=True, stats=stats,
         half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
-        mixed_hit=anyhit_row is not None,
+        mixed_hit=anyhit_row is not None, seg_cull=step_cull,
     )
     row_len = tt.node_tables.shape[2]
     lane = tt.cluster_tables.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(s_count, e_count),
         in_specs=[
             pl.BlockSpec(
-                (1, 8, sublanes, 128), lambda s, e, sl, sg: (s, 0, 0, 0),
+                (1, 8, sublanes, 128), lambda s, e, sl, se, sg: (s, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, tt.max_nodes, row_len),
-                lambda s, e, sl, sg: (sl[s, e], 0, 0),
+                lambda s, e, sl, se, sg: (sl[s, e], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, tt.max_clusters, lane),
-                lambda s, e, sl, sg: (sl[s, e], 0, 0),
+                lambda s, e, sl, se, sg: (sl[s, e], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, sublanes, 128), lambda s, e, sl, sg: (s, 0, 0, 0),
+            (1, 4, sublanes, 128), lambda s, e, sl, se, sg: (s, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         if not stats
         else (
             pl.BlockSpec(
-                (1, 4, sublanes, 128), lambda s, e, sl, sg: (s, 0, 0, 0),
+                (1, 4, sublanes, 128), lambda s, e, sl, se, sg: (s, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             # [8, 128] tile covering 8 segments (block-shape rule); each
             # segment owns row s % 8, counters in lanes 0..4.
             pl.BlockSpec(
-                (8, 128), lambda s, e, sl, sg: (s // 8, 0),
+                (8, 128), lambda s, e, sl, se, sg: (s // 8, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -1146,7 +1172,7 @@ def packet_intersect_segments(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(seg_list, seg_gmask, rays, tt.node_tables, tt.cluster_tables)
+    )(seg_list, seg_entry, seg_gmask, rays, tt.node_tables, tt.cluster_tables)
     if stats:
         out, stat_rows = out
         return (

@@ -265,6 +265,7 @@ def _run_segments(
     div_free: bool = False,
     rank_push: bool = False,
     anyhit_row=None,
+    step_cull: bool = False,
 ):
     """Segment metadata + kernel launch: per-segment near-first candidate
     lists (sentinel slots repeat the last valid id so Pallas keeps the
@@ -292,6 +293,17 @@ def _run_segments(
         seg_order, jnp.maximum(length - 1, 0)[:, None], axis=1
     )
     seg_list = jnp.where(seg_valid, seg_order, last)
+    # Per-step t-cull keys: the step's min entry distance, nudged down so fp
+    # jitter between the driver slab test and the kernel's Möller parameter
+    # can't cull a boundary hit. The kernel skips step e once every lane's
+    # best-t is at or below this entry (max-reduce vs one SMEM scalar) —
+    # meaningful because caps are scene-exit-bounded (treelet_intersect) and
+    # any-hit lanes retire to best-t 0, so no lane pins the max at BG.
+    seg_entry = jnp.where(
+        seg_valid,
+        jnp.take_along_axis(seg_key, seg_order, axis=1) * (1.0 - 1e-4) - 1e-5,
+        1e30,  # sentinel slots are killed by gmask 0; keep SMEM finite
+    ).astype(jnp.float32)
 
     # Group g of segment s is active for treelet t iff any of its rows×128
     # rays wants t.
@@ -317,10 +329,10 @@ def _run_segments(
         seg_gmask = jnp.where(slot < e_cap, seg_gmask, 0)
 
     return tk.packet_intersect_segments(
-        tt, seg_list, seg_gmask, o, d, cap,
+        tt, seg_list, seg_entry, seg_gmask, o, d, cap,
         t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
         stats=stats, half_leaf=half_leaf, div_free=div_free,
-        rank_push=rank_push, anyhit_row=anyhit_row,
+        rank_push=rank_push, anyhit_row=anyhit_row, step_cull=step_cull,
     )
 
 
@@ -341,6 +353,7 @@ def treelet_intersect(
     div_free: bool = False,
     rank_push: bool = False,
     anyhit_mask=None,
+    step_cull: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
 
@@ -357,6 +370,12 @@ def treelet_intersect(
     up the per-segment treelet-candidate union, and extra live steps cost
     far more than the smaller argsort saves. Kept as a diagnostic knob;
     production paths use per-ray sorting (default 1).
+    step_cull=True arms per-step t-culling: caps are clamped to the
+    scene-AABB exit (conservative — nothing exists beyond it; misses are
+    rewritten to _BG so callers never see the clamp) and the kernel skips
+    candidate step e once every lane's best-t ≤ the step's min entry
+    (one max-reduce per live step). Flag-gated until A/B-measured
+    (tools/probe_r3.py --what tcull).
     e_cap: TRACED scalar; candidate slots ≥ e_cap get gmask 0 (skipped).
     Diagnostic only — caps < the true union size drop hits. One compiled
     program serves every cap (the compile costs minutes on this runtime)."""
@@ -379,6 +398,25 @@ def treelet_intersect(
     )
 
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+
+    if step_cull:
+        # Scene-exit caps: clamp every lane's cap to where it LEAVES the
+        # scene AABB (padded up so fp rounding keeps boundary hits) — no
+        # triangle exists beyond that, so nothing is lost, and escaping
+        # rays get a finite best-t instead of BG. That finiteness is what
+        # arms the kernel's per-step t-cull (max best-t vs the step's min
+        # entry): round 2's per-pop culling measured ZERO culls precisely
+        # because one never-hitting ray pinned every bound at
+        # BACKGROUND_DEPTH. Misses are rewritten to _BG below, so the
+        # clamp is invisible to callers.
+        lo_g = tt.aabb[:, 0:3].min(axis=0)
+        hi_g = tt.aabb[:, 3:6].max(axis=0)
+        t0g = (lo_g[None] - o) * inv_d
+        t1g = (hi_g[None] - o) * inv_d
+        tn_g = jnp.maximum(jnp.max(jnp.minimum(t0g, t1g), axis=1), t_min)
+        tf_g = jnp.min(jnp.maximum(t0g, t1g), axis=1)
+        exit_t = tf_g * (1.0 + 1e-4) + 1e-5
+        cap = jnp.where(tn_g <= exit_t, jnp.minimum(cap, exit_t), 0.0)
 
     if presorted or k == 1:
         order = None
@@ -430,6 +468,7 @@ def treelet_intersect(
         t_min=t_min, any_hit=any_hit, interpret=interpret,
         sublanes=sublanes, e_cap=e_cap, stats=stats, half_leaf=half_leaf,
         div_free=div_free, rank_push=rank_push, anyhit_row=ah,
+        step_cull=step_cull,
     )
     if stats:
         out, stat_rows = out
@@ -661,6 +700,7 @@ def treelet_backend(
     div_free: bool = False,
     rank_push: bool = False,
     partition: str = "sah",
+    step_cull: bool = False,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
     arguments (ops/backend.py).
@@ -700,6 +740,7 @@ def treelet_backend(
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
             half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
+            step_cull=step_cull,
         )
 
     def occl_fn(arrays, o, d, tmax):
@@ -707,6 +748,7 @@ def treelet_backend(
             _rebind(arrays), o, d, t_max=tmax, any_hit=True,
             interpret=interpret, sublanes=sublanes, sort_chunk=shadow_chunk,
             half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
+            step_cull=step_cull,
         ).hit
 
     def capped_fn(arrays, o, d, tmax, anyhit=None):
@@ -720,14 +762,14 @@ def treelet_backend(
         return treelet_intersect(
             _rebind(arrays), o, d, t_max=tmax, interpret=interpret,
             sublanes=sublanes, half_leaf=half_leaf, div_free=div_free,
-            rank_push=rank_push, anyhit_mask=anyhit,
+            rank_push=rank_push, anyhit_mask=anyhit, step_cull=step_cull,
         )
 
     def primary_fn(arrays, o, d):
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
             presorted=primary_presorted, half_leaf=half_leaf,
-            div_free=div_free, rank_push=rank_push,
+            div_free=div_free, rank_push=rank_push, step_cull=step_cull,
         )
 
     return TraceBackend(

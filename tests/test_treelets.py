@@ -86,6 +86,38 @@ def test_any_hit_per_ray_tmax(soup_tt):
     np.testing.assert_array_equal(np.asarray(occ.hit), expected)
 
 
+def test_step_cull_matches_bruteforce(soup_tt):
+    # step_cull=True (scene-exit caps + per-step t-cull) is conservative:
+    # identical hits/ids vs the oracle, closest-hit AND any-hit. Rays start
+    # outside the scene AABB too (spread 12 > soup spread 10), so the
+    # escape/miss cap clamp paths are exercised.
+    (v0, v1, v2), tt = soup_tt
+    n = 8 * 128 * 3 + 17
+    o, d = _rays(n, seed=21)
+    hit = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=8, step_cull=True, half_leaf=True
+    )
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(hb.hit))
+    m = np.asarray(hb.hit)
+    np.testing.assert_allclose(
+        np.asarray(hit.t)[m], np.asarray(hb.t)[m], rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit.prim_id)[m], np.asarray(hb.prim_id)[m]
+    )
+    rng = np.random.default_rng(23)
+    tmax = rng.uniform(1.0, 30.0, (n,)).astype(np.float32)
+    occ = treelets.treelet_intersect(
+        tt, o, d, t_max=jnp.asarray(tmax), any_hit=True,
+        interpret=True, sublanes=8, step_cull=True,
+    )
+    expected = np.asarray(hb.hit) & (np.asarray(hb.t) < tmax)
+    np.testing.assert_array_equal(np.asarray(occ.hit), expected)
+
+
 def test_zero_tmax_parks_lane(soup_tt):
     (v0, v1, v2), tt = soup_tt
     n = 8 * 128

@@ -94,7 +94,8 @@ def main():
     t_mix = jnp.where(use_sun, 100.0, dist[:, 0] * 0.999)
 
     def isect_fn(presorted=False, chunk=1, any_hit=False, per_ray_t=False,
-                 half_leaf=False, div_free=False, rank_push=False):
+                 half_leaf=False, div_free=False, rank_push=False,
+                 step_cull=False):
         @jax.jit
         def f(nt, ct, ab_, o_, d_, tm):
             tt2 = tt._replace(node_tables=nt, cluster_tables=ct, aabb=ab_)
@@ -102,6 +103,7 @@ def main():
                 tt2, o_, d_, t_max=tm, any_hit=any_hit,
                 sublanes=args.sublanes, presorted=presorted, sort_chunk=chunk,
                 half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
+                step_cull=step_cull,
             )
             return jnp.sum(hh.t) + jnp.sum(hh.prim_id)
 
@@ -184,6 +186,30 @@ def main():
              o_rand, d_sun, 100.0),
             ("occl mix RP", isect_fn(any_hit=True, half_leaf=True,
                                      rank_push=True),
+             o_rand, d_mix, t_mix),
+        ]
+        for tag, f, o_, d_, tm in cases:
+            tm_a = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), (n,))
+            dt = _time(f, nodes, clus, ab, o_, d_, tm_a, reps=3)
+            print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
+                  flush=True)
+
+    if args.what == "tcull":
+        # Per-step t-cull + scene-exit caps A/B (vs the halfleaf log rows —
+        # identical config except step_cull). Expected: bounce/primary win
+        # (near hits kill far steps), occl neutral-to-win (any-hit retirement
+        # drives blocked lanes' best-t to 0, shrinking the segment max).
+        cases = [
+            ("primary presorted TC",
+             isect_fn(presorted=True, half_leaf=True, step_cull=True),
+             o_tile, d_tile, BG),
+            ("bounce sorted TC", isect_fn(half_leaf=True, step_cull=True),
+             o_rand, d_rand, BG),
+            ("occl sun TC", isect_fn(any_hit=True, half_leaf=True,
+                                     step_cull=True),
+             o_rand, d_sun, 100.0),
+            ("occl mix TC", isect_fn(any_hit=True, half_leaf=True,
+                                     step_cull=True),
              o_rand, d_mix, t_mix),
         ]
         for tag, f, o_, d_, tm in cases:

@@ -24,4 +24,6 @@ timeout 2400 python tools/frame_probe.py --width 1920 --height 1088 --stub > /tm
 timeout 2400 python tools/frame_probe.py --width 1920 --height 1088 > /tmp/frame_real_1080.log 2>&1
 # 8. Fused shadow+bounce launches A/B (RenderSettings.fuse_shadow).
 timeout 3600 python tools/probe_fused.py > /tmp/probe_fused.log 2>&1
+# 9. Per-step t-cull + scene-exit caps A/B (vs the step-1 halfleaf rows).
+timeout 2400 python tools/probe_r3.py --what tcull > /tmp/probe_tcull.log 2>&1
 echo RUNNER_DONE
