@@ -19,9 +19,10 @@ timeout 2400 python tools/probe_r3.py --what halfleaf --leaf-size 16 > /tmp/prob
 
 # 6b. Pop-counter stats for the winning table config (attribution).
 timeout 2400 python tools/probe_r3.py --what stats --max-tris 98304 --leaf-size 24 > /tmp/probe_stats98k.log 2>&1
-# 7. Frame-side attribution at 1080p (the unexplained ~40 ms/bounce):
-timeout 2400 python tools/frame_probe.py --width 1920 --height 1088 --stub > /tmp/frame_stub_1080.log 2>&1
-timeout 2400 python tools/frame_probe.py --width 1920 --height 1088 > /tmp/frame_real_1080.log 2>&1
+# 7. Frame-side attribution at the PRODUCTION sponza1080 config (300k tris,
+#    treelet backend, 4-sample batch): real - stub = traversal share.
+timeout 3600 python tools/frame_probe.py --width 1920 --height 1088 --detail 8 --samples 4 --stub > /tmp/frame_stub_1080.log 2>&1
+timeout 3600 python tools/frame_probe.py --width 1920 --height 1088 --detail 8 --samples 4 > /tmp/frame_real_1080.log 2>&1
 # 8. Fused shadow+bounce launches A/B (RenderSettings.fuse_shadow).
 timeout 3600 python tools/probe_fused.py > /tmp/probe_fused.log 2>&1
 # 9. Per-step t-cull + scene-exit caps A/B (vs the step-1 halfleaf rows).
