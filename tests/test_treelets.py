@@ -142,16 +142,11 @@ def test_capped_fn_mixed_population(soup_tt):
     # cap BG — one capped closest-hit must serve both: Hit.hit == occluded
     # for the shadow half, full nearest hits for the bounce half.
     (v0, v1, v2), tt = soup_tt
-    b = treelets.treelet_backend(
-        host_tris=(v0, v1, v2), leaf_size=6, width=8, max_tris=2048,
-        sublanes=8, interpret=True,
-    )
     n = 8 * 128 * 2
     o, d = _rays(n, seed=21)
     rng = np.random.default_rng(23)
     cap = np.full((n,), mathx.BACKGROUND_DEPTH, np.float32)
     cap[: n // 2] = rng.uniform(1.0, 30.0, (n // 2,)).astype(np.float32)
-    fused = b.bind_capped(b.arrays)
     hb = intersect.intersect_bruteforce(
         o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
     )
@@ -159,10 +154,18 @@ def test_capped_fn_mixed_population(soup_tt):
         np.asarray(hb.t)[: n // 2] < cap[: n // 2]
     )
     # With and without per-lane any-hit retirement flags on the shadow half
-    # (kernel mixed_hit): booleans identical, bounce half stays exact.
+    # (kernel mixed_hit), and with per-step t-culling stacked on top (the
+    # fused + step_cull production candidate): booleans identical, bounce
+    # half stays exact.
     ah = np.zeros((n,), bool)
     ah[: n // 2] = True
-    for mask in (None, jnp.asarray(ah)):
+    cases = [(None, False), (jnp.asarray(ah), False), (jnp.asarray(ah), True)]
+    for mask, cull in cases:
+        b = treelets.treelet_backend(
+            host_tris=(v0, v1, v2), leaf_size=6, width=8, max_tris=2048,
+            sublanes=8, interpret=True, step_cull=cull,
+        )
+        fused = b.bind_capped(b.arrays)
         hit = fused(o, d, jnp.asarray(cap), mask)
         np.testing.assert_array_equal(
             np.asarray(hit.hit)[: n // 2], expected_sh
