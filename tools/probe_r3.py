@@ -195,23 +195,28 @@ def main():
                   flush=True)
 
     if args.what == "tcull":
-        # Per-step t-cull + scene-exit caps A/B (vs the halfleaf log rows —
-        # identical config except step_cull). Expected: bounce/primary win
-        # (near hits kill far steps), occl neutral-to-win (any-hit retirement
-        # drives blocked lanes' best-t to 0, shrinking the segment max).
-        cases = [
-            ("primary presorted TC",
-             isect_fn(presorted=True, half_leaf=True, step_cull=True),
-             o_tile, d_tile, BG),
-            ("bounce sorted TC", isect_fn(half_leaf=True, step_cull=True),
-             o_rand, d_rand, BG),
-            ("occl sun TC", isect_fn(any_hit=True, half_leaf=True,
-                                     step_cull=True),
-             o_rand, d_sun, 100.0),
-            ("occl mix TC", isect_fn(any_hit=True, half_leaf=True,
-                                     step_cull=True),
-             o_rand, d_mix, t_mix),
-        ]
+        # Per-step t-cull + scene-exit caps A/B — self-contained: each
+        # population runs step_cull OFF then ON (identical config
+        # otherwise). Expected: bounce/primary win (near hits kill far
+        # steps), occl neutral-to-win (any-hit retirement drives blocked
+        # lanes' best-t to 0, shrinking the segment max).
+        cases = []
+        for cull in (False, True):
+            sfx = "TC" if cull else "off"
+            cases += [
+                (f"primary presorted {sfx}",
+                 isect_fn(presorted=True, half_leaf=True, step_cull=cull),
+                 o_tile, d_tile, BG),
+                (f"bounce sorted {sfx}",
+                 isect_fn(half_leaf=True, step_cull=cull),
+                 o_rand, d_rand, BG),
+                (f"occl sun {sfx}",
+                 isect_fn(any_hit=True, half_leaf=True, step_cull=cull),
+                 o_rand, d_sun, 100.0),
+                (f"occl mix {sfx}",
+                 isect_fn(any_hit=True, half_leaf=True, step_cull=cull),
+                 o_rand, d_mix, t_mix),
+            ]
         for tag, f, o_, d_, tm in cases:
             tm_a = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), (n,))
             dt = _time(f, nodes, clus, ab, o_, d_, tm_a, reps=3)
