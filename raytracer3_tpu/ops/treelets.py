@@ -701,9 +701,11 @@ def treelet_backend(
     rank_push: bool = False,
     partition: str = "sah",
     step_cull: bool = False,
+    vmem_budget: float = 12.5e6,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
-    arguments (ops/backend.py).
+    arguments (ops/backend.py). Configs that would overflow VMEM are
+    auto-fit (see the loop below): sublanes halve first, then max_tris.
 
     shadow_chunk: sort_chunk granularity for occlusion traces — leave at 1
     (chunked sorting measured negative everywhere, see treelet_intersect).
@@ -722,6 +724,31 @@ def treelet_backend(
         v0, v1, v2, leaf_size, width=width, max_tris=max_tris,
         partition=partition,
     )
+    # VMEM auto-fit: the segment kernel keeps 2× (node+cluster) table
+    # blocks (revolving DMA window) + the rays [8,S,128] / out [4,S,128]
+    # blocks resident. If the requested config cannot fit, first shrink the
+    # segment (sublanes, if the tables alone leave room for a minimal one),
+    # then the treelets (max_tris) — a raw Mosaic VMEM error names none of
+    # these knobs. The default budget leaves ~3.5 MB of the 16 MB for
+    # stacks/scratch/semaphores. CPU-measured block sizes for the 300k-tri
+    # bench scene are tabled in docs/ROADMAP.md.
+    min_rays_out = (8 + 4) * 128 * 128 * 4
+    while True:
+        k = max(1, tt.num_treelets)
+        tables = 2 * (tt.node_tables.nbytes + tt.cluster_tables.nbytes) / k
+        rays_out = (8 + 4) * sublanes * 128 * 4
+        if tables + rays_out <= vmem_budget:
+            break
+        if sublanes > 128 and tables + min_rays_out <= vmem_budget:
+            sublanes //= 2
+            continue
+        if max_tris <= 256:
+            break  # give up: let Mosaic report the real limit
+        max_tris //= 2
+        tt = build_treelets_host(
+            v0, v1, v2, leaf_size, width=width, max_tris=max_tris,
+            partition=partition,
+        )
     meta = tt._replace(node_tables=None, cluster_tables=None, aabb=None)
     arrays = {
         "nodes": tt.node_tables,

@@ -186,6 +186,37 @@ def test_capped_fn_mixed_population(soup_tt):
         )
 
 
+def test_vmem_autofit_shrinks_and_stays_correct():
+    # A config whose table blocks exceed the (tiny, test-sized) VMEM budget
+    # must auto-shrink max_tris — more, smaller treelets — and still trace
+    # exactly. Production budget default leaves ~3.5 MB headroom (treelets.
+    # treelet_backend docstring).
+    v0, v1, v2 = _soup(900)
+    big = treelets.treelet_backend(
+        host_tris=(v0, v1, v2), leaf_size=4, width=8, max_tris=1024,
+        sublanes=8, interpret=True,
+    )
+    small = treelets.treelet_backend(
+        host_tris=(v0, v1, v2), leaf_size=4, width=8, max_tris=1024,
+        sublanes=8, interpret=True, vmem_budget=150_000.0,
+    )
+    assert (
+        small.arrays["clusters"].shape[0] > big.arrays["clusters"].shape[0]
+    ), "tiny budget must split into more treelets"
+    n = 8 * 128
+    o, d = _rays(n, seed=31)
+    isect = small.bind(small.arrays)[0]
+    hit = isect(o, d)
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(hb.hit))
+    m = np.asarray(hb.hit)
+    np.testing.assert_array_equal(
+        np.asarray(hit.prim_id)[m], np.asarray(hb.prim_id)[m]
+    )
+
+
 def test_backend_and_single_treelet():
     v0, v1, v2 = _soup(60, seed=5, spread=2.0)
     b = treelets.treelet_backend(
