@@ -180,6 +180,7 @@ def _kernel(
     rank_push: bool = False,
     mixed_hit: bool = False,
     seg_cull: bool = False,
+    tables_hbm: bool = False,
 ):
     """Packet traversal body. Two invocation shapes:
 
@@ -209,7 +210,10 @@ def _kernel(
             slist_ref, sentry_ref, sgm_ref,
             rays_ref, nodes_ref, clusters_ref, out_ref, *m,
         ) = refs
-        del slist_ref
+        if not tables_hbm:
+            # slist drives the BlockSpec index_maps only; with tables_hbm
+            # it is read below to pick the manual whole-table DMA source.
+            del slist_ref
         inst_ref = None
         stats_ref = m[0] if stats else None
     elif two_level:
@@ -291,6 +295,9 @@ def _kernel(
         seg_entry_v = (
             sentry_ref[pl.program_id(0), seg_e] if seg_cull else None
         )
+        seg_t = (
+            slist_ref[pl.program_id(0), seg_e] if tables_hbm else None
+        )
         seg_srow = jax.lax.rem(pl.program_id(0), 8) if stats else None
 
     def scoped(*scratch):
@@ -301,6 +308,10 @@ def _kernel(
         cbuf_ref = next(it) if clusters_hbm else None
         csem_ref = next(it) if clusters_hbm else None
         tray_ref = next(it) if two_level else None
+        nbuf_ref = next(it) if tables_hbm else None
+        nsem_ref = next(it) if tables_hbm else None
+        tbuf_ref = next(it) if tables_hbm else None
+        tsem_ref = next(it) if tables_hbm else None
         ox = rays_ref[0, 0]
         oy = rays_ref[0, 1]
         oz = rays_ref[0, 2]
@@ -379,6 +390,25 @@ def _kernel(
                     lambda: jnp.float32(3e38),
                 )
                 go = go & (bt_max > seg_entry_v)
+            if tables_hbm:
+                # Tables live in HBM; copy THIS step's treelet tables into
+                # single-buffered VMEM scratch (vs the BlockSpec path's
+                # revolving 2× window — the point: half the table VMEM, so
+                # treelets ~2× bigger fit). The copy (~5-10 µs for MBs over
+                # HBM) is trivially hidden by the step's ms-scale traversal;
+                # dead steps skip it.
+                @pl.when(go)
+                def _():
+                    nd = pltpu.make_async_copy(
+                        nodes_ref.at[pl.ds(seg_t, 1)], nbuf_ref, nsem_ref
+                    )
+                    td = pltpu.make_async_copy(
+                        clusters_ref.at[pl.ds(seg_t, 1)], tbuf_ref, tsem_ref
+                    )
+                    nd.start()
+                    td.start()
+                    nd.wait()
+                    td.wait()
             root_bits = seg_gm
             sp0 = jnp.where(go, jnp.int32(1), jnp.int32(0))
         else:
@@ -419,9 +449,12 @@ def _kernel(
                 # tests (inactive groups skipped entirely), order children
                 # near-first, push every taken child (leaf codes and internal
                 # ids share the stack; leaves are handled at pop).
-                row = (
-                    nodes_ref[0, entry] if seg else nodes_ref[entry]
-                )  # scalar dynamic index
+                if seg and tables_hbm:
+                    row = nbuf_ref[0, entry]
+                elif seg:
+                    row = nodes_ref[0, entry]
+                else:
+                    row = nodes_ref[entry]  # scalar dynamic index
                 slot_codes = [row[6 * width + s] for s in range(width)]
                 slot_real = [
                     jnp.abs(code + 1.0) > 0.25 for code in slot_codes
@@ -642,6 +675,8 @@ def _kernel(
                     dma.start()
                     dma.wait()
                     crow = cbuf_ref[0]
+                elif seg and tables_hbm:
+                    crow = tbuf_ref[0, cl]  # [row_len]
                 elif seg:
                     crow = clusters_ref[0, cl]  # [row_len]
                 else:
@@ -963,6 +998,11 @@ def _kernel(
         shapes.append(pltpu.SemaphoreType.DMA(()))
     if two_level:
         shapes.append(pltpu.VMEM((9, sublanes, 128), jnp.float32))
+    if tables_hbm:
+        shapes.append(pltpu.VMEM((1,) + nodes_ref.shape[1:], jnp.float32))
+        shapes.append(pltpu.SemaphoreType.DMA(()))
+        shapes.append(pltpu.VMEM((1,) + clusters_ref.shape[1:], jnp.float32))
+        shapes.append(pltpu.SemaphoreType.DMA(()))
     pl.run_scoped(scoped, *shapes)
 
 
@@ -1089,6 +1129,7 @@ def packet_intersect_segments(
     rank_push: bool = False,
     anyhit_row: jax.Array | None = None,  # [S*p] f32 >0.5 = any-hit lane
     step_cull: bool = False,
+    tables_hbm: bool = False,
 ) -> jax.Array:
     """Segment-grid packet traversal over per-treelet tables (see
     ops/treelets.py driver + _kernel docstring). Returns [4, S*p] rows
@@ -1121,6 +1162,7 @@ def packet_intersect_segments(
         width=tt.width, stack=stack, seg=True, stats=stats,
         half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
         mixed_hit=anyhit_row is not None, seg_cull=step_cull,
+        tables_hbm=tables_hbm,
     )
     row_len = tt.node_tables.shape[2]
     lane = tt.cluster_tables.shape[2]
@@ -1132,17 +1174,30 @@ def packet_intersect_segments(
                 (1, 8, sublanes, 128), lambda s, e, sl, se, sg: (s, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, tt.max_nodes, row_len),
-                lambda s, e, sl, se, sg: (sl[s, e], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tt.max_clusters, lane),
-                lambda s, e, sl, se, sg: (sl[s, e], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        ]
+        + (
+            [
+                # tables_hbm: whole tables stay in HBM; the kernel DMAs the
+                # live step's treelet into single-buffered VMEM scratch
+                # (half the table VMEM of the revolving BlockSpec window →
+                # ~2× bigger treelets fit).
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ]
+            if tables_hbm
+            else [
+                pl.BlockSpec(
+                    (1, tt.max_nodes, row_len),
+                    lambda s, e, sl, se, sg: (sl[s, e], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, tt.max_clusters, lane),
+                    lambda s, e, sl, se, sg: (sl[s, e], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+        ),
         out_specs=pl.BlockSpec(
             (1, 4, sublanes, 128), lambda s, e, sl, se, sg: (s, 0, 0, 0),
             memory_space=pltpu.VMEM,

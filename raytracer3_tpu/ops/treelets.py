@@ -266,6 +266,7 @@ def _run_segments(
     rank_push: bool = False,
     anyhit_row=None,
     step_cull: bool = False,
+    tables_hbm: bool = False,
 ):
     """Segment metadata + kernel launch: per-segment near-first candidate
     lists (sentinel slots repeat the last valid id so Pallas keeps the
@@ -333,6 +334,7 @@ def _run_segments(
         t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
         stats=stats, half_leaf=half_leaf, div_free=div_free,
         rank_push=rank_push, anyhit_row=anyhit_row, step_cull=step_cull,
+        tables_hbm=tables_hbm,
     )
 
 
@@ -354,6 +356,7 @@ def treelet_intersect(
     rank_push: bool = False,
     anyhit_mask=None,
     step_cull: bool = False,
+    tables_hbm: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
 
@@ -370,6 +373,11 @@ def treelet_intersect(
     up the per-segment treelet-candidate union, and extra live steps cost
     far more than the smaller argsort saves. Kept as a diagnostic knob;
     production paths use per-ray sorting (default 1).
+    tables_hbm=True keeps the treelet tables in HBM and DMAs each live
+    step's tables into single-buffered VMEM scratch inside the kernel
+    (vs the default revolving 2× BlockSpec window) — half the table VMEM,
+    so ~2× bigger treelets (or segments) fit; the per-step copy is µs vs
+    the step's ms of traversal. Flag-gated until A/B-measured.
     step_cull=True arms per-step t-culling: caps are clamped to the
     scene-AABB exit (conservative — nothing exists beyond it; misses are
     rewritten to _BG so callers never see the clamp) and the kernel skips
@@ -468,7 +476,7 @@ def treelet_intersect(
         t_min=t_min, any_hit=any_hit, interpret=interpret,
         sublanes=sublanes, e_cap=e_cap, stats=stats, half_leaf=half_leaf,
         div_free=div_free, rank_push=rank_push, anyhit_row=ah,
-        step_cull=step_cull,
+        step_cull=step_cull, tables_hbm=tables_hbm,
     )
     if stats:
         out, stat_rows = out
@@ -701,6 +709,7 @@ def treelet_backend(
     rank_push: bool = False,
     partition: str = "sah",
     step_cull: bool = False,
+    tables_hbm: bool = False,
     vmem_budget: float = 12.5e6,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
@@ -733,9 +742,13 @@ def treelet_backend(
     # stacks/scratch/semaphores. CPU-measured block sizes for the 300k-tri
     # bench scene are tabled in docs/ROADMAP.md.
     min_rays_out = (8 + 4) * 128 * 128 * 4
+    table_copies = 1 if tables_hbm else 2
     while True:
         k = max(1, tt.num_treelets)
-        tables = 2 * (tt.node_tables.nbytes + tt.cluster_tables.nbytes) / k
+        tables = (
+            table_copies
+            * (tt.node_tables.nbytes + tt.cluster_tables.nbytes) / k
+        )
         rays_out = (8 + 4) * sublanes * 128 * 4
         if tables + rays_out <= vmem_budget:
             break
@@ -767,7 +780,7 @@ def treelet_backend(
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
             half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
-            step_cull=step_cull,
+            step_cull=step_cull, tables_hbm=tables_hbm,
         )
 
     def occl_fn(arrays, o, d, tmax):
@@ -775,7 +788,7 @@ def treelet_backend(
             _rebind(arrays), o, d, t_max=tmax, any_hit=True,
             interpret=interpret, sublanes=sublanes, sort_chunk=shadow_chunk,
             half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
-            step_cull=step_cull,
+            step_cull=step_cull, tables_hbm=tables_hbm,
         ).hit
 
     def capped_fn(arrays, o, d, tmax, anyhit=None):
@@ -790,6 +803,7 @@ def treelet_backend(
             _rebind(arrays), o, d, t_max=tmax, interpret=interpret,
             sublanes=sublanes, half_leaf=half_leaf, div_free=div_free,
             rank_push=rank_push, anyhit_mask=anyhit, step_cull=step_cull,
+            tables_hbm=tables_hbm,
         )
 
     def primary_fn(arrays, o, d):
@@ -797,6 +811,7 @@ def treelet_backend(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
             presorted=primary_presorted, half_leaf=half_leaf,
             div_free=div_free, rank_push=rank_push, step_cull=step_cull,
+            tables_hbm=tables_hbm,
         )
 
     return TraceBackend(

@@ -186,6 +186,41 @@ def test_capped_fn_mixed_population(soup_tt):
         )
 
 
+def test_tables_hbm_matches_bruteforce(soup_tt):
+    # tables_hbm: tables stay in HBM, each live step DMAs its treelet into
+    # single-buffered VMEM scratch. Must be bit-compatible with the
+    # BlockSpec path — alone and stacked with half_leaf + step_cull.
+    (v0, v1, v2), tt = soup_tt
+    n = 8 * 128 * 3 + 17
+    o, d = _rays(n, seed=41)
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    m = np.asarray(hb.hit)
+    for kw in (
+        dict(tables_hbm=True),
+        dict(tables_hbm=True, half_leaf=True, step_cull=True),
+    ):
+        hit = treelets.treelet_intersect(
+            tt, o, d, interpret=True, sublanes=8, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(hit.hit), m)
+        np.testing.assert_allclose(
+            np.asarray(hit.t)[m], np.asarray(hb.t)[m], rtol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit.prim_id)[m], np.asarray(hb.prim_id)[m]
+        )
+    rng = np.random.default_rng(43)
+    tmax = rng.uniform(1.0, 30.0, (n,)).astype(np.float32)
+    occ = treelets.treelet_intersect(
+        tt, o, d, t_max=jnp.asarray(tmax), any_hit=True,
+        interpret=True, sublanes=8, tables_hbm=True,
+    )
+    expected = m & (np.asarray(hb.t) < tmax)
+    np.testing.assert_array_equal(np.asarray(occ.hit), expected)
+
+
 def test_vmem_autofit_shrinks_and_stays_correct():
     # A config whose table blocks exceed the (tiny, test-sized) VMEM budget
     # must auto-shrink max_tris — more, smaller treelets — and still trace

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--bvh-width", type=int, default=16)
     ap.add_argument("--leaf-size", type=int, default=12)
     ap.add_argument("--what", default="drivers")
+    ap.add_argument("--tables-hbm", action="store_true",
+                    help="single-buffered in-kernel table DMA (treelets "
+                         "tables_hbm) — unlocks 2x treelet or segment size")
     args = ap.parse_args()
 
     from raytracer3_tpu.ops import treelets
@@ -103,7 +106,7 @@ def main():
                 tt2, o_, d_, t_max=tm, any_hit=any_hit,
                 sublanes=args.sublanes, presorted=presorted, sort_chunk=chunk,
                 half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
-                step_cull=step_cull,
+                step_cull=step_cull, tables_hbm=args.tables_hbm,
             )
             return jnp.sum(hh.t) + jnp.sum(hh.prim_id)
 

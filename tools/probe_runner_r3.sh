@@ -27,4 +27,8 @@ timeout 3600 python tools/frame_probe.py --width 1920 --height 1088 --detail 8 -
 timeout 3600 python tools/probe_fused.py > /tmp/probe_fused.log 2>&1
 # 9. Per-step t-cull + scene-exit caps A/B (vs the step-1 halfleaf rows).
 timeout 2400 python tools/probe_r3.py --what tcull > /tmp/probe_tcull.log 2>&1
+# 10. tables_hbm unlocks (single-buffered in-kernel table DMA): 2x-bigger
+#     segments at 98k, and 192k treelets (CPU proxy: steps 16 vs 34 vs 100).
+timeout 2400 python tools/probe_r3.py --what halfleaf --max-tris 98304 --leaf-size 24 --tables-hbm --sublanes 1024 > /tmp/probe_hbmtab_98k_s1024.log 2>&1
+timeout 2400 python tools/probe_r3.py --what halfleaf --max-tris 196608 --leaf-size 24 --tables-hbm > /tmp/probe_hbmtab_192k.log 2>&1
 echo RUNNER_DONE
