@@ -221,6 +221,27 @@ def test_tables_hbm_matches_bruteforce(soup_tt):
     np.testing.assert_array_equal(np.asarray(occ.hit), expected)
 
 
+def test_sublanes_1024_multiword_masks(soup_tt):
+    # sublanes=1024 → 32 groups of 32 rows → 4 half-word subgroup masks
+    # (the probe config tables_hbm unlocks). Exercises the multi-word
+    # machinery beyond the 2-word 512 case.
+    (v0, v1, v2), tt = soup_tt
+    n = 1024 * 128
+    o, d = _rays(n, seed=51)
+    hit = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=1024, half_leaf=True,
+        tables_hbm=True, step_cull=True,
+    )
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(hb.hit))
+    m = np.asarray(hb.hit)
+    np.testing.assert_array_equal(
+        np.asarray(hit.prim_id)[m], np.asarray(hb.prim_id)[m]
+    )
+
+
 def test_vmem_autofit_shrinks_and_stays_correct():
     # A config whose table blocks exceed the (tiny, test-sized) VMEM budget
     # must auto-shrink max_tris — more, smaller treelets — and still trace
