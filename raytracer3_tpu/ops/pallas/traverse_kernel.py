@@ -1130,6 +1130,7 @@ def packet_intersect_segments(
     anyhit_row: jax.Array | None = None,  # [S*p] f32 >0.5 = any-hit lane
     step_cull: bool = False,
     tables_hbm: bool = False,
+    vmem_limit: int | None = None,
 ) -> jax.Array:
     """Segment-grid packet traversal over per-treelet tables (see
     ops/treelets.py driver + _kernel docstring). Returns [4, S*p] rows
@@ -1139,7 +1140,10 @@ def packet_intersect_segments(
     (rides the otherwise-redundant rays row 7; see _kernel mixed_hit).
     stats=True additionally returns per-segment [S, 8] int32 counters
     (node pops, leaf pops, node activations, leaf activations, live steps)
-    accumulated over the segment's candidate steps."""
+    accumulated over the segment's candidate steps.
+    vmem_limit: raise Mosaic's scoped-VMEM budget (default ~16 MB) toward
+    the chip's physical VMEM (128 MB on v5e) — unlocks bigger treelets /
+    segments than the default budget admits."""
     s_count = seg_list.shape[0]
     e_count = seg_list.shape[1]
     p = sublanes * 128
@@ -1227,6 +1231,11 @@ def packet_intersect_segments(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=(
+            None
+            if vmem_limit is None
+            else pltpu.CompilerParams(vmem_limit_bytes=int(vmem_limit))
+        ),
     )(seg_list, seg_entry, seg_gmask, rays, tt.node_tables, tt.cluster_tables)
     if stats:
         out, stat_rows = out
@@ -1266,8 +1275,11 @@ def packet_backend(
     if clusters_hbm is None and est_clusters * row_len * 4 > CLUSTERS_VMEM_LIMIT:
         from raytracer3_tpu.ops import treelets
 
+        # Treelet-path defaults (98k/leaf24, measured best — see
+        # treelet_backend docstring) override this function's small-scene
+        # leaf_size: the two paths want different leaf packings.
         return treelets.treelet_backend(
-            host_tris=(v0, v1, v2), leaf_size=leaf_size, width=width,
+            host_tris=(v0, v1, v2), width=width,
             sublanes=treelet_sublanes, interpret=interpret,
         )
     cb = cb_mod.build_cluster_bvh_host(v0, v1, v2, leaf_size, width=width)

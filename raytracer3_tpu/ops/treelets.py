@@ -137,9 +137,9 @@ def build_treelets_host(
     v0: np.ndarray,
     v1: np.ndarray,
     v2: np.ndarray,
-    leaf_size: int = 12,
+    leaf_size: int = 24,
     width: int = 16,
-    max_tris: int = 32768,
+    max_tris: int = 98304,
     partition: str = "sah",
 ) -> TreeletTables:
     """Partition triangles into treelets and build each treelet's wide
@@ -267,6 +267,7 @@ def _run_segments(
     anyhit_row=None,
     step_cull: bool = False,
     tables_hbm: bool = False,
+    vmem_limit=None,
 ):
     """Segment metadata + kernel launch: per-segment near-first candidate
     lists (sentinel slots repeat the last valid id so Pallas keeps the
@@ -334,7 +335,7 @@ def _run_segments(
         t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
         stats=stats, half_leaf=half_leaf, div_free=div_free,
         rank_push=rank_push, anyhit_row=anyhit_row, step_cull=step_cull,
-        tables_hbm=tables_hbm,
+        tables_hbm=tables_hbm, vmem_limit=vmem_limit,
     )
 
 
@@ -357,6 +358,7 @@ def treelet_intersect(
     anyhit_mask=None,
     step_cull: bool = False,
     tables_hbm: bool = False,
+    vmem_limit=None,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
 
@@ -476,7 +478,7 @@ def treelet_intersect(
         t_min=t_min, any_hit=any_hit, interpret=interpret,
         sublanes=sublanes, e_cap=e_cap, stats=stats, half_leaf=half_leaf,
         div_free=div_free, rank_push=rank_push, anyhit_row=ah,
-        step_cull=step_cull, tables_hbm=tables_hbm,
+        step_cull=step_cull, tables_hbm=tables_hbm, vmem_limit=vmem_limit,
     )
     if stats:
         out, stat_rows = out
@@ -696,9 +698,9 @@ def treelet_layout_stats(
 
 def treelet_backend(
     scene=None,
-    leaf_size: int = 12,
+    leaf_size: int = 24,
     width: int = 16,
-    max_tris: int = 32768,
+    max_tris: int = 98304,
     sublanes: int = 512,
     interpret: bool = False,
     host_tris=None,
@@ -706,15 +708,29 @@ def treelet_backend(
     primary_presorted: bool = True,
     half_leaf: bool = True,
     div_free: bool = False,
-    rank_push: bool = False,
+    rank_push="bounce",
     partition: str = "sah",
-    step_cull: bool = False,
+    step_cull: bool = True,
     tables_hbm: bool = False,
-    vmem_budget: float = 12.5e6,
+    vmem_limit: int | None = 32_000_000,
+    vmem_budget: float | None = None,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
     arguments (ops/backend.py). Configs that would overflow VMEM are
     auto-fit (see the loop below): sublanes halve first, then max_tris.
+
+    Defaults are the round-3 same-process A/B winners (docs/ROADMAP.md,
+    2026-08-18 probes on the 300k-tri bench scene at 2M rays):
+    - max_tris 98304 / leaf_size 24: beats 32k/leaf12 on EVERY population
+      (primary +13%, bounce +11%, sun occl +4%, mixed occl +7%) — the 3×
+      fewer grid steps of big treelets only pay with the 256-lane leaf-24
+      row packing (98k/leaf12 LOSES everywhere: 2.4× node rows + 8192
+      cluster rows pressure the VMEM windows).
+    - step_cull True: per-step t-culling, bounce +6.5%, others flat.
+    - rank_push "bounce": rank-select child pushes only on the sorted
+      bounce paths (isect/capped) where node pops dominate (+6.7% bounce);
+      the Batcher network stays for primaries (−2% under rank_push) and
+      any-hit occlusion (−4%).
 
     shadow_chunk: sort_chunk granularity for occlusion traces — leave at 1
     (chunked sorting measured negative everywhere, see treelet_intersect).
@@ -722,8 +738,20 @@ def treelet_backend(
     swizzled primaries are already packet-coherent, render/wavefront.py;
     measured 27.4 vs 20.6 Mray/s at 2M rays).
     half_leaf: 8-row subgroup leaf predication (measured +5-14% on every
-    population at 512 sublanes; tools/probe_r3.py --what halfleaf)."""
+    population at 512 sublanes; tools/probe_r3.py --what halfleaf).
+    rank_push: True/False force rank-select pushes everywhere/nowhere;
+    "bounce" (default) applies them per-population as above.
+    vmem_limit: Mosaic scoped-VMEM budget (CompilerParams.vmem_limit_bytes).
+    The production default raises Mosaic's ~16 MB default to 32 MB (v5e has
+    128 MB physical): the measured-best 98k/leaf24 tables at 512 sublanes
+    need ~18.5 MB once Pallas revolves the rays+out blocks 2× — the 16 MB
+    ceiling OOM'ed the first bench run of that config. The auto-fit budget
+    below scales with the limit. None = Mosaic default."""
     from raytracer3_tpu.ops.backend import TraceBackend
+
+    if vmem_budget is None:
+        # Leave ~2.5 MB of the scoped budget for stacks/scratch/semaphores.
+        vmem_budget = (16e6 if vmem_limit is None else float(vmem_limit)) - 2.5e6
 
     if host_tris is not None:
         v0, v1, v2 = host_tris
@@ -734,14 +762,17 @@ def treelet_backend(
         partition=partition,
     )
     # VMEM auto-fit: the segment kernel keeps 2× (node+cluster) table
-    # blocks (revolving DMA window) + the rays [8,S,128] / out [4,S,128]
+    # blocks (revolving DMA window) + 2× the rays [8,S,128] / out [4,S,128]
     # blocks resident. If the requested config cannot fit, first shrink the
     # segment (sublanes, if the tables alone leave room for a minimal one),
     # then the treelets (max_tris) — a raw Mosaic VMEM error names none of
-    # these knobs. The default budget leaves ~3.5 MB of the 16 MB for
+    # these knobs. The budget leaves ~2.5 MB of the scoped limit for
     # stacks/scratch/semaphores. CPU-measured block sizes for the 300k-tri
     # bench scene are tabled in docs/ROADMAP.md.
-    min_rays_out = (8 + 4) * 128 * 128 * 4
+    # Rays + out blocks ALSO revolve 2× across grid steps (measured: the
+    # first 98k/leaf24 bench compile allocated 18.46 M where a 1× count
+    # predicted ~15.4 M) — count both copies or the fit check lies.
+    min_rays_out = 2 * (8 + 4) * 128 * 128 * 4
     table_copies = 1 if tables_hbm else 2
     while True:
         k = max(1, tt.num_treelets)
@@ -749,7 +780,7 @@ def treelet_backend(
             table_copies
             * (tt.node_tables.nbytes + tt.cluster_tables.nbytes) / k
         )
-        rays_out = (8 + 4) * sublanes * 128 * 4
+        rays_out = 2 * (8 + 4) * sublanes * 128 * 4
         if tables + rays_out <= vmem_budget:
             break
         if sublanes > 128 and tables + min_rays_out <= vmem_budget:
@@ -776,19 +807,25 @@ def treelet_backend(
             aabb=arrays["aabb"],
         )
 
+    # Per-population rank-select pushes (see docstring): the sorted bounce
+    # paths take them, the coherent primary and any-hit occlusion keep the
+    # Batcher network / unordered pushes.
+    rp_bounce = rank_push in (True, "bounce")
+    rp_other = rank_push is True
+
     def isect_fn(arrays, o, d):
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
-            half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
-            step_cull=step_cull, tables_hbm=tables_hbm,
+            half_leaf=half_leaf, div_free=div_free, rank_push=rp_bounce,
+            step_cull=step_cull, tables_hbm=tables_hbm, vmem_limit=vmem_limit,
         )
 
     def occl_fn(arrays, o, d, tmax):
         return treelet_intersect(
             _rebind(arrays), o, d, t_max=tmax, any_hit=True,
             interpret=interpret, sublanes=sublanes, sort_chunk=shadow_chunk,
-            half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
-            step_cull=step_cull, tables_hbm=tables_hbm,
+            half_leaf=half_leaf, div_free=div_free, rank_push=rp_other,
+            step_cull=step_cull, tables_hbm=tables_hbm, vmem_limit=vmem_limit,
         ).hit
 
     def capped_fn(arrays, o, d, tmax, anyhit=None):
@@ -802,16 +839,16 @@ def treelet_backend(
         return treelet_intersect(
             _rebind(arrays), o, d, t_max=tmax, interpret=interpret,
             sublanes=sublanes, half_leaf=half_leaf, div_free=div_free,
-            rank_push=rank_push, anyhit_mask=anyhit, step_cull=step_cull,
-            tables_hbm=tables_hbm,
+            rank_push=rp_bounce, anyhit_mask=anyhit, step_cull=step_cull,
+            tables_hbm=tables_hbm, vmem_limit=vmem_limit,
         )
 
     def primary_fn(arrays, o, d):
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
             presorted=primary_presorted, half_leaf=half_leaf,
-            div_free=div_free, rank_push=rank_push, step_cull=step_cull,
-            tables_hbm=tables_hbm,
+            div_free=div_free, rank_push=rp_other, step_cull=step_cull,
+            tables_hbm=tables_hbm, vmem_limit=vmem_limit,
         )
 
     return TraceBackend(

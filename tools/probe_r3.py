@@ -40,7 +40,12 @@ def main():
     ap.add_argument("--tables-hbm", action="store_true",
                     help="single-buffered in-kernel table DMA (treelets "
                          "tables_hbm) — unlocks 2x treelet or segment size")
+    ap.add_argument("--vmem-limit", type=float, default=0,
+                    help="Mosaic scoped-VMEM budget in bytes (0 = default "
+                         "~16M); v5e has 128M physical — raising it admits "
+                         "bigger treelets / segments")
     args = ap.parse_args()
+    vmem_limit = int(args.vmem_limit) or None
 
     from raytracer3_tpu.ops import treelets
     from raytracer3_tpu.render import camera as camera_mod
@@ -107,6 +112,7 @@ def main():
                 sublanes=args.sublanes, presorted=presorted, sort_chunk=chunk,
                 half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
                 step_cull=step_cull, tables_hbm=args.tables_hbm,
+                vmem_limit=vmem_limit,
             )
             return jnp.sum(hh.t) + jnp.sum(hh.prim_id)
 
@@ -197,6 +203,31 @@ def main():
             print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
                   flush=True)
 
+    if args.what == "prod":
+        # The four populations at PRODUCTION per-population flags
+        # (treelet_backend defaults: half_leaf + step_cull everywhere,
+        # rank_push on the sorted bounce path only) — the baseline for
+        # config sweeps over --sublanes / --max-tris / --vmem-limit.
+        cases = [
+            ("primary presorted",
+             isect_fn(presorted=True, half_leaf=True, step_cull=True),
+             o_tile, d_tile, BG),
+            ("bounce sorted",
+             isect_fn(half_leaf=True, step_cull=True, rank_push=True),
+             o_rand, d_rand, BG),
+            ("occl sun",
+             isect_fn(any_hit=True, half_leaf=True, step_cull=True),
+             o_rand, d_sun, 100.0),
+            ("occl mix",
+             isect_fn(any_hit=True, half_leaf=True, step_cull=True),
+             o_rand, d_mix, t_mix),
+        ]
+        for tag, f, o_, d_, tm in cases:
+            tm_a = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), (n,))
+            dt = _time(f, nodes, clus, ab, o_, d_, tm_a, reps=3)
+            print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
+                  flush=True)
+
     if args.what == "tcull":
         # Per-step t-cull + scene-exit caps A/B — self-contained: each
         # population runs step_cull OFF then ON (identical config
@@ -230,9 +261,9 @@ def main():
         # Does bounce throughput rise with ray DENSITY? 2x/4x rays over the
         # same domain -> more rays per morton cell -> purer groups -> fewer
         # pops per ray. If it scales, sample-batched frames are a lever.
-        f = isect_fn(half_leaf=True)
-        fo = isect_fn(any_hit=True, half_leaf=True)
-        for mult in (4, 8):
+        f = isect_fn(half_leaf=True, step_cull=True, rank_push=True)
+        fo = isect_fn(any_hit=True, half_leaf=True, step_cull=True)
+        for mult in (4, 8, 16):
             nn = n * mult
             kq = jax.random.split(jax.random.PRNGKey(17 + mult), 4)
             o_m = jax.random.uniform(
