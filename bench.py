@@ -208,16 +208,20 @@ def main() -> None:
 
     big_scene, big_tris = sponza_world_scene(detail=8)
     cam720 = procedural.atrium_camera(aspect=1280 / 720)
+    # samples=8: ray density is a measured throughput lever (bounce 2.77 →
+    # 3.96, occl-mix 7.04 → 13.32 Mray/s from x1 → x8 at 2M-ray scale,
+    # tools/probe_r3.py --what density, 2026-08-18) — denser populations
+    # sort into purer packets and driver cost amortizes. One frame = 8 spp.
     results.append(
         run_config(
-            "sponza720", big_scene, big_tris, cam720, 1280, 720, 2, samples=4
+            "sponza720", big_scene, big_tris, cam720, 1280, 720, 2, samples=8
         )
     )
     cam1080 = procedural.atrium_camera(aspect=1920 / 1088)
     results.append(
         run_config(
             "sponza1080", big_scene, big_tris, cam1080, 1920, 1088, 4,
-            samples=4,
+            samples=8,
         )
     )
 
@@ -227,6 +231,7 @@ def main() -> None:
         print(json.dumps(r_), file=sys.stderr)
 
     head = results[0]
+    sponza = results[-1]
     print(
         json.dumps(
             {
@@ -234,6 +239,15 @@ def main() -> None:
                 "value": head["mrays_per_s_per_chip"],
                 "unit": "Mray/s",
                 "vs_baseline": head["vs_baseline"],
+                # Same-accounting-across-rounds comparators: the measured
+                # ray meter tightened in round 3 (shadow lanes that never
+                # traverse no longer count), which deflates `value` vs
+                # older rounds; nominal + frame_ms are stable yardsticks.
+                "nominal_value": head["nominal_mrays_per_s_per_chip"],
+                "headline_frame_ms": head["frame_ms"],
+                "sponza1080_mrays": sponza["mrays_per_s_per_chip"],
+                "sponza1080_frame_ms": sponza["frame_ms"],
+                "sponza1080_spp_per_s": sponza["spp_per_s"],
             }
         )
     )

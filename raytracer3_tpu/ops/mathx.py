@@ -39,6 +39,25 @@ def cross(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.cross(a, b)
 
 
+def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather ``table[idx]`` for [M, C] tables with SMALL C, built from
+    C per-channel 1-D gathers — for SIGNED / non-color data only.
+
+    The TPU gather layout trap (round-3 measurements): ``table[idx]`` /
+    ``img[y, x]`` row gathers materialize [N, C] outputs in tiled T(8,128)
+    layout, padding C lanes to 128 — 42.7× HBM at C=3 (7.97 GB for 16.7M
+    lanes; OOM'ed the sponza1080 samples=8 bench). But gathers also price
+    by CALL, not row width (~4.5 ms per gather at 2M lanes), so the C
+    1-D gathers here cost C× the row gather's time (headline A/B:
+    417 → 511 ms). For non-negative color data, prefer ONE u32 gather of
+    an rgb9e5-packed table (ops/packing.py) — same call count as the row
+    gather, zero padding; see render/pathtracer._sample_env. Use this
+    helper only where packing can't represent the values."""
+    return jnp.stack(
+        [table[:, c][idx] for c in range(table.shape[1])], axis=-1
+    )
+
+
 def saturate(x: jax.Array) -> jax.Array:
     return jnp.clip(x, 0.0, 1.0)
 

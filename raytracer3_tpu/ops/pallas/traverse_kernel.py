@@ -1185,8 +1185,8 @@ def packet_intersect_segments(
                 # live step's treelet into single-buffered VMEM scratch
                 # (half the table VMEM of the revolving BlockSpec window →
                 # ~2× bigger treelets fit).
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ]
             if tables_hbm
             else [

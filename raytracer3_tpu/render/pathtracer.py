@@ -20,7 +20,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from raytracer3_tpu.ops import brdf, intersect, mathx, rng
+from raytracer3_tpu.ops import brdf, intersect, mathx, packing, rng
 from raytracer3_tpu.render import camera as camera_mod
 from raytracer3_tpu.scene import types as scene_types
 from raytracer3_tpu.utils.config import RenderSettings
@@ -60,7 +60,18 @@ def _sample_env(scene: scene_types.Scene, directions: jax.Array) -> jax.Array:
     he, we = scene.env_map.shape[0], scene.env_map.shape[1]
     x = jnp.clip((uv[..., 0] * we).astype(jnp.int32), 0, we - 1)
     y = jnp.clip((uv[..., 1] * he).astype(jnp.int32), 0, he - 1)
-    return scene.env_map[y, x]
+    # ONE rgb9e5-packed [N] u32 gather, not env_map[y, x]: the 2-axis
+    # gather's [N, 3] output materializes in tiled T(8,128) layout on TPU —
+    # 3 lanes pad to 128, a 42.7× expansion (7.97 GB at 16.7M lanes, twice:
+    # gather + a scan-carry copy inheriting the layout) that OOM'ed the
+    # sponza1080 samples=8 bench. Per-CHANNEL 1-D gathers fix the padding
+    # but cost ~4.5 ms per gather per call at 2M lanes (A/B: headline frame
+    # 417 → 511 ms) — XLA TPU gathers price by CALL, not by row width. The
+    # shared-exponent pack keeps one gather, zero padding; the pack of the
+    # 131k-texel map is loop-invariant VPU noise (~20 ops/texel).
+    return packing.unpack_rgb9e5(
+        packing.pack_rgb9e5(scene.env_map.reshape(-1, 3))[y * we + x]
+    )
 
 
 def _env_radiance_pdf(scene: scene_types.Scene, directions: jax.Array):
@@ -70,8 +81,32 @@ def _env_radiance_pdf(scene: scene_types.Scene, directions: jax.Array):
     he, we = scene.env_rgbp.shape[0], scene.env_rgbp.shape[1]
     x = jnp.clip((uv[..., 0] * we).astype(jnp.int32), 0, we - 1)
     y = jnp.clip((uv[..., 1] * he).astype(jnp.int32), 0, he - 1)
-    rgbp = scene.env_rgbp[y, x]
-    return rgbp[..., 0:3], rgbp[..., 3]
+    # ONE rgb9e5 gather (see _sample_env for why: [N, 4] row gathers pad
+    # 32× in tiled layout; extra per-channel gathers cost ~4.5 ms each).
+    # The pdf is RECOMPUTED from the unpacked radiance instead of gathered:
+    # build_env_tables sets p(texel) = lum·sinθ / Σ(lum·sinθ) and
+    # pdf = p / dΩ with dΩ = (2π/We)(π/He)·sinθ — the sinθ cancels, so
+    # pdf = lum · We·He / (2π² · Σ lum·sinθ). The Σ term is a loop-invariant
+    # reduction of the map. Using the 9-bit-mantissa lum here makes the MIS
+    # balance weight consistent to ~0.2% with the table's f32 pdf — far
+    # below the MC noise floor (and the radiance itself is exact MC-wise:
+    # the same rounded value is what _sample_env returns on escape).
+    rgb = packing.unpack_rgb9e5(
+        packing.pack_rgb9e5(scene.env_rgbp[..., 0:3].reshape(-1, 3))[
+            y * we + x
+        ]
+    )
+    env = scene.env_rgbp[..., 0:3]
+    lum_map = (
+        0.2126 * env[..., 0] + 0.7152 * env[..., 1] + 0.0722 * env[..., 2]
+    )
+    theta = (jnp.arange(he, dtype=jnp.float32) + 0.5) / he * jnp.pi
+    total = jnp.sum(
+        jnp.maximum(lum_map, 0.0) * jnp.sin(theta)[:, None]
+    )
+    lum = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+    k = we * he / (2.0 * jnp.pi * jnp.pi * jnp.maximum(total, 1e-12))
+    return rgb, lum * k
 
 
 def _sample_env_light(scene: scene_types.Scene, u3: jax.Array):

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from raytracer3_tpu.ops import packing
+
 MAX_MIPS = 11  # 6..15 meta lanes hold mips 1..10; mip 0 at (x0, y0)
 
 
@@ -126,10 +128,16 @@ def _bilinear_level(atlas, meta_rows, uv, level, nearest):
     yi0 = jnp.mod(v_n, h).astype(jnp.int32) + y0.astype(jnp.int32)
     xi1 = jnp.mod(u_n + 1, w).astype(jnp.int32) + x0.astype(jnp.int32)
     yi1 = jnp.mod(v_n + 1, h).astype(jnp.int32) + y0.astype(jnp.int32)
-    c00 = atlas[yi0, xi0]
-    c10 = atlas[yi0, xi1]
-    c01 = atlas[yi1, xi0]
-    c11 = atlas[yi1, xi1]
+    # rgb9e5-packed taps: one u32 gather per tap — atlas[y, x] row gathers
+    # materialize [N, 3] outputs in tiled layout (42.7× padded HBM), and
+    # per-channel 1-D gathers triple the ~4.5 ms/gather cost (see
+    # scene/types._sample_texture_bilinear for the full measurement story).
+    aw = atlas.shape[1]
+    packed = packing.pack_rgb9e5(atlas.reshape(-1, atlas.shape[2]))
+    c00 = packing.unpack_rgb9e5(packed[yi0 * aw + xi0])
+    c10 = packing.unpack_rgb9e5(packed[yi0 * aw + xi1])
+    c01 = packing.unpack_rgb9e5(packed[yi1 * aw + xi0])
+    c11 = packing.unpack_rgb9e5(packed[yi1 * aw + xi1])
     return (
         c00 * (1 - fu) * (1 - fv)
         + c10 * fu * (1 - fv)

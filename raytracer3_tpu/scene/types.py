@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raytracer3_tpu.ops import mathx
+from raytracer3_tpu.ops import mathx, packing
 
 # hit_logic.slang:35 multiplies material emission by 12.0.
 EMISSION_SCALE = 12.0
@@ -142,10 +142,19 @@ def _sample_texture_bilinear(tex: jax.Array, uv: jax.Array) -> jax.Array:
     y0i = jnp.mod(y0.astype(jnp.int32), th)
     x1i = jnp.mod(x0i + 1, tw)
     y1i = jnp.mod(y0i + 1, th)
-    c00 = tex[y0i, x0i]
-    c10 = tex[y0i, x1i]
-    c01 = tex[y1i, x0i]
-    c11 = tex[y1i, x1i]
+    # rgb9e5-packed taps: ONE u32 gather per tap instead of tex[y, x] row
+    # gathers, whose [N, 3] outputs materialize in tiled T(8,128) layout on
+    # TPU (42.7× padded HBM — measured 7.97 GB at 16.7M lanes on the env
+    # path, render/pathtracer._sample_env). Per-channel 1-D gathers fix the
+    # padding but triple the gather count (~4.5 ms per gather at 2M lanes);
+    # the shared-exponent pack keeps the count AND kills the padding, at
+    # ≤0.5% color rounding (≥ the 8-bit precision of PNG sources). The pack
+    # of the texel table is loop-invariant VPU work.
+    packed = packing.pack_rgb9e5(tex.reshape(-1, tex.shape[2]))
+    c00 = packing.unpack_rgb9e5(packed[y0i * tw + x0i])
+    c10 = packing.unpack_rgb9e5(packed[y0i * tw + x1i])
+    c01 = packing.unpack_rgb9e5(packed[y1i * tw + x0i])
+    c11 = packing.unpack_rgb9e5(packed[y1i * tw + x1i])
     return (
         c00 * (1 - fx) * (1 - fy)
         + c10 * fx * (1 - fy)
@@ -170,10 +179,14 @@ def sample_texture_array(textures: jax.Array, tex_id: jax.Array, uv: jax.Array) 
     y0i = jnp.mod(y0.astype(jnp.int32), th)
     x1i = jnp.mod(x0i + 1, tw)
     y1i = jnp.mod(y0i + 1, th)
-    c00 = textures[safe_id, y0i, x0i]
-    c10 = textures[safe_id, y0i, x1i]
-    c01 = textures[safe_id, y1i, x0i]
-    c11 = textures[safe_id, y1i, x1i]
+    # rgb9e5-packed taps via flat indices (see _sample_texture_bilinear).
+    packed = packing.pack_rgb9e5(textures.reshape(-1, textures.shape[3]))
+    base = (safe_id * th + y0i) * tw
+    base1 = (safe_id * th + y1i) * tw
+    c00 = packing.unpack_rgb9e5(packed[base + x0i])
+    c10 = packing.unpack_rgb9e5(packed[base + x1i])
+    c01 = packing.unpack_rgb9e5(packed[base1 + x0i])
+    c11 = packing.unpack_rgb9e5(packed[base1 + x1i])
     c = (
         c00 * (1 - fx) * (1 - fy)
         + c10 * fx * (1 - fy)

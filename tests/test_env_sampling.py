@@ -95,11 +95,15 @@ class TestAliasTable:
         u3 = jnp.asarray(r.uniform(size=(4096, 3)).astype(np.float32))
         d, rad, pdf = pathtracer._sample_env_light(scene, u3)
         rad2, pdf2 = pathtracer._env_radiance_pdf(scene, d)
+        # _env_radiance_pdf recomputes the pdf from rgb9e5-rounded radiance
+        # (one packed u32 gather instead of an [N, 4] row gather — see the
+        # function's layout note), so lookup-vs-table agreement is bounded
+        # by the 9-bit mantissa: ~2^-9 relative, not exact.
         np.testing.assert_allclose(
-            np.asarray(pdf), np.asarray(pdf2), rtol=1e-4
+            np.asarray(pdf), np.asarray(pdf2), rtol=1e-2
         )
         np.testing.assert_allclose(
-            np.asarray(rad), np.asarray(rad2), rtol=1e-4
+            np.asarray(rad), np.asarray(rad2), rtol=1e-2, atol=1e-5
         )
 
     def test_estimator_consistency_sunny_furnace(self):

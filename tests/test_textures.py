@@ -49,9 +49,12 @@ def test_sample_level0_matches_texel():
         jnp.zeros(n, jnp.int32), jnp.asarray(uv),
         lod=jnp.zeros(n), trilinear=False,
     )
-    np.testing.assert_allclose(
-        np.asarray(out), img.reshape(-1, 3), rtol=1e-6
-    )
+    # Taps are rgb9e5-packed (one u32 gather per tap — scene/textures.py
+    # layout note): agreement is bounded by the shared-exponent 9-bit
+    # mantissa — absolute error ≤ max_channel · 2^-10 per texel.
+    ref = img.reshape(-1, 3)
+    atol = ref.max(axis=1, keepdims=True) * 2.0 ** -9 + 1e-7
+    assert (np.abs(np.asarray(out) - ref) <= atol).all()
 
 
 def test_high_lod_converges_to_mean():

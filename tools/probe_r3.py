@@ -265,23 +265,33 @@ def main():
         fo = isect_fn(any_hit=True, half_leaf=True, step_cull=True)
         for mult in (4, 8, 16):
             nn = n * mult
-            kq = jax.random.split(jax.random.PRNGKey(17 + mult), 4)
-            o_m = jax.random.uniform(
-                kq[0], (nn, 3), minval=jnp.asarray(lo), maxval=jnp.asarray(hi)
-            )
-            d_m = jax.random.normal(kq[1], (nn, 3))
-            d_m = d_m / jnp.linalg.norm(d_m, axis=1, keepdims=True)
+            # Host-side population build (device pulls through the tunnel
+            # cost minutes; eager device gathers pad 42x — see below).
+            nprng = np.random.default_rng(17 + mult)
+            o_h = nprng.uniform(lo, hi, (nn, 3)).astype(np.float32)
+            d_h = nprng.normal(size=(nn, 3)).astype(np.float32)
+            d_h /= np.linalg.norm(d_h, axis=1, keepdims=True)
+            o_m = jnp.asarray(o_h)
+            d_m = jnp.asarray(d_h)
             tm_a = jnp.full((nn,), BG, jnp.float32)
             dt = _time(f, nodes, clus, ab, o_m, d_m, tm_a, reps=3)
             print(f"bounce x{mult:<2d} ({nn/1e6:.1f}M)   : {dt*1e3:8.1f} ms  "
                   f"{nn/dt/1e6:6.2f} Mray/s", flush=True)
-            # Mixed shadow population at the same density (sun/point 50:50).
-            to_lm = lights[jax.random.randint(kq[2], (nn,), 0, 4)] - o_m
-            dist_m = jnp.linalg.norm(to_lm, axis=1, keepdims=True)
-            d_pm = to_lm / jnp.maximum(dist_m, 1e-6)
-            sun_m = jax.random.uniform(kq[3], (nn,)) < 0.5
-            d_mixm = jnp.where(sun_m[:, None], jnp.broadcast_to(sun, (nn, 3)), d_pm)
-            t_mixm = jnp.where(sun_m, 100.0, dist_m[:, 0] * 0.999)
+            # Mixed shadow population at the same density (sun/point 50:50),
+            # built HOST-side: the eager device [N,3] row-gather pads 42x on
+            # this runtime (a 33M-row x16 population OOM'ed HBM at 15.9G).
+            lights_h = np.asarray(lights)
+            to_lm = lights_h[nprng.integers(0, 4, nn)] - o_h
+            dist_m = np.linalg.norm(to_lm, axis=1, keepdims=True)
+            d_pm = to_lm / np.maximum(dist_m, 1e-6)
+            sun_m = nprng.random(nn) < 0.5
+            d_mixm = jnp.asarray(
+                np.where(sun_m[:, None], np.asarray(sun)[None], d_pm),
+                jnp.float32,
+            )
+            t_mixm = jnp.asarray(
+                np.where(sun_m, 100.0, dist_m[:, 0] * 0.999), jnp.float32
+            )
             dt = _time(fo, nodes, clus, ab, o_m, d_mixm, t_mixm, reps=3)
             print(f"occlmix x{mult:<2d} ({nn/1e6:.1f}M)  : {dt*1e3:8.1f} ms  "
                   f"{nn/dt/1e6:6.2f} Mray/s", flush=True)
