@@ -59,6 +59,64 @@ GROUP_ROWS = 8  # sublane rows per work-skipping group (one native VPU tile)
 _BG = mathx.BACKGROUND_DEPTH
 
 
+def _i32(mask: int) -> int:
+    """Python uint32 literal → int32 two's-complement value."""
+    return mask - (1 << 32) if mask >= (1 << 31) else mask
+
+
+def _ctz_pow2(b):
+    """Count trailing zeros of a scalar int32 with exactly ONE bit set
+    (isolated via b = m & -m). Five mask tests — no clz dependence."""
+    g = jnp.int32(0)
+    for k, m in (
+        (1, 0xAAAAAAAA),
+        (2, 0xCCCCCCCC),
+        (4, 0xF0F0F0F0),
+        (8, 0xFF00FF00),
+        (16, 0xFFFF0000),
+    ):
+        g = g + jnp.where((b & jnp.int32(_i32(m))) != 0, jnp.int32(k), 0)
+    return g
+
+
+def _bit_iter(words, body_fn, extra_init):
+    """Iterate body_fn(bit_index, extra) over the SET bits of up to two
+    scalar int32 mask words (bit_index counts across words: word w bit i →
+    32*w + i). The loop length equals the popcount — the point: per-pop
+    scalar cost proportional to ACTIVE groups instead of one lax.cond per
+    group (32 unconditional branches measured ~10-15% of bounce time, and
+    64 of them a 15% regression — docs/ROADMAP.md)."""
+    nw = len(words)
+    assert 1 <= nw <= 2, nw
+
+    def cond(c):
+        m = c[0]
+        for i in range(1, nw):
+            m = m | c[i]
+        return m != 0
+
+    def body(c):
+        ws = list(c[:nw])
+        extra = c[nw:]
+        if nw == 1:
+            b = ws[0] & -ws[0]
+            g = _ctz_pow2(b)
+            ws[0] = ws[0] & (ws[0] - 1)
+        else:
+            use0 = ws[0] != 0
+            wsel = jnp.where(use0, ws[0], ws[1])
+            b = wsel & -wsel
+            g = _ctz_pow2(b) + jnp.where(use0, jnp.int32(0), jnp.int32(32))
+            cleared = wsel & (wsel - 1)
+            ws[0] = jnp.where(use0, cleared, ws[0])
+            ws[1] = jnp.where(use0, ws[1], cleared)
+        extra = body_fn(g, tuple(extra))
+        return tuple(ws) + tuple(extra)
+
+    out = jax.lax.while_loop(cond, body, tuple(words) + tuple(extra_init))
+    return out[nw:]
+
+
 def _sort_network(n: int):
     """Batcher odd-even mergesort compare-exchange pairs for n a power of 2."""
     pairs = []
@@ -91,6 +149,12 @@ class PacketTables(NamedTuple):
     # 25-35% REGRESSION (see handle_leaf note) and was removed; the lanes
     # stay so a layout-compatible retry needs no table rebuild.
     leaf_aabb: bool = False
+    # bw_leaf: cluster rows hold Baldwin–Weber precomputed constants
+    # (n|d0|n1|d1|n2|d2 = 12 floats/tri at [12j, 12j+12), ids at [12L, 13L),
+    # AABB at [13L, 13L+6)) instead of (v0|e1|e2). The leaf loop then skips
+    # both cross products: t from the plane equation, u/v from two
+    # precomputed projection rows (~38 VPU ops/tri vs ~49 for Möller).
+    bw_leaf: bool = False
 
 
 def pack_two_level(tl) -> PacketTables:
@@ -110,26 +174,51 @@ def pack_two_level(tl) -> PacketTables:
     )
 
 
-def pack_tables_host(cb: cb_mod.ClusterBVH) -> PacketTables:
+def pack_tables_host(cb: cb_mod.ClusterBVH, bw_leaf: bool = False) -> PacketTables:
     """Repack ClusterBVH for the kernel: cluster rows append triangle ids.
-    Row length is the lane-multiple that fits 9·L floats + L ids.
+    Row length is the lane-multiple that fits 9·L floats + L ids (13·L + 6
+    when bw_leaf packs Baldwin–Weber constants instead — see PacketTables).
 
     Tables stay HOST numpy — per-treelet builders (ops/treelets.py) repack
     dozens of these, and a device upload + readback per part costs seconds
     each through the tunneled TPU runtime."""
     ls = cb.leaf_size
-    row_len = ((9 * ls + ls + 6 + 127) // 128) * 128
+    per_tri = 12 if bw_leaf else 9
+    row_len = ((per_tri * ls + ls + 6 + 127) // 128) * 128
     ct = np.asarray(jax.device_get(cb.cluster_table))
     tids = np.asarray(jax.device_get(cb.tri_id)).astype(np.float32)
     rows = np.zeros((ct.shape[0], row_len), np.float32)
-    rows[:, : 9 * ls] = ct[:, : 9 * ls]
-    rows[:, 9 * ls : 9 * ls + ls] = tids
-    # Cluster AABB over valid tris (v0, v0+e1, v0+e2), padded by an epsilon
-    # so fp rounding can't cull a marginal Möller hit. Lanes [10L, 10L+6).
     tri = ct[:, : 9 * ls].reshape(ct.shape[0], ls, 9)
     v0 = tri[:, :, 0:3]
-    p1 = v0 + tri[:, :, 3:6]
-    p2 = v0 + tri[:, :, 6:9]
+    e1 = tri[:, :, 3:6]
+    e2 = tri[:, :, 6:9]
+    if bw_leaf:
+        # Baldwin–Weber constants: plane (n, d0) with n = e1×e2, and the
+        # barycentric projection rows n1 = (e2×n)/|n|², n2 = (n×e1)/|n|²
+        # (n1·e1 = 1, n1·e2 = 0 and vice versa). Degenerate/padding tris get
+        # n = 0 → nd = 0 → rejected in-kernel; tid -1 kills them regardless.
+        n = np.cross(e1, e2)
+        n2len = np.einsum("cld,cld->cl", n, n)
+        ok = n2len > 1e-30
+        inv = np.where(ok, 1.0 / np.maximum(n2len, 1e-30), 0.0)[:, :, None]
+        n = np.where(ok[:, :, None], n, 0.0)
+        n1 = np.cross(e2, n) * inv
+        n2v = np.cross(n, e1) * inv
+        d0 = -np.einsum("cld,cld->cl", n, v0)
+        d1 = -np.einsum("cld,cld->cl", n1, v0)
+        d2 = -np.einsum("cld,cld->cl", n2v, v0)
+        bw = np.concatenate(
+            [n, d0[:, :, None], n1, d1[:, :, None], n2v, d2[:, :, None]],
+            axis=2,
+        ).astype(np.float32)  # [C, L, 12]
+        rows[:, : 12 * ls] = bw.reshape(ct.shape[0], 12 * ls)
+    else:
+        rows[:, : 9 * ls] = ct[:, : 9 * ls]
+    rows[:, per_tri * ls : per_tri * ls + ls] = tids
+    # Cluster AABB over valid tris (v0, v0+e1, v0+e2), padded by an epsilon
+    # so fp rounding can't cull a marginal hit. Lanes [(pt+1)L, (pt+1)L+6).
+    p1 = v0 + e1
+    p2 = v0 + e2
     valid = (tids >= 0)[:, :, None]
     big = np.float32(1e30)
     pts_lo = np.minimum(np.minimum(
@@ -139,8 +228,9 @@ def pack_tables_host(cb: cb_mod.ClusterBVH) -> PacketTables:
         np.where(valid, v0, -big), np.where(valid, p1, -big)),
         np.where(valid, p2, -big)).max(axis=1)
     eps = 1e-4 * (np.linalg.norm(pts_hi - pts_lo, axis=1, keepdims=True) + 1e-3)
-    rows[:, 10 * ls : 10 * ls + 3] = pts_lo - eps
-    rows[:, 10 * ls + 3 : 10 * ls + 6] = pts_hi + eps
+    ab0 = (per_tri + 1) * ls
+    rows[:, ab0 : ab0 + 3] = pts_lo - eps
+    rows[:, ab0 + 3 : ab0 + 6] = pts_hi + eps
     return PacketTables(
         node_table=np.asarray(jax.device_get(cb.node_table)),
         cluster_table=rows,
@@ -150,6 +240,7 @@ def pack_tables_host(cb: cb_mod.ClusterBVH) -> PacketTables:
         width=cb.width,
         depth=cb.depth,
         leaf_aabb=True,
+        bw_leaf=bw_leaf,
     )
 
 
@@ -181,6 +272,9 @@ def _kernel(
     mixed_hit: bool = False,
     seg_cull: bool = False,
     tables_hbm: bool = False,
+    bit_loop: bool = False,
+    max_groups: int = 32,
+    bw_leaf: bool = False,
 ):
     """Packet traversal body. Two invocation shapes:
 
@@ -224,11 +318,12 @@ def _kernel(
         inst_ref = None
         stats_ref = m[0] if stats else None
     sublanes = rays_ref.shape[2]
-    # Work-skipping groups: capped at 32 (one int32 mask word). The word
-    # machinery below generalizes to multiple words, but 64×8-row groups
-    # measured a 15% regression on every population — the extra 32 lax.cond
-    # scalar branches per pop beat the finer skip granularity (see header).
-    n_groups = max(1, min(32, sublanes // GROUP_ROWS))
+    # Work-skipping groups: capped at 32 (one int32 mask word) by default.
+    # 64×8-row groups under per-group lax.conds measured a 15% regression on
+    # every population (the extra 32 scalar branches beat the finer skip
+    # granularity), but under bit_loop the scalar cost is proportional to the
+    # POPCOUNT, so max_groups=64 becomes viable (A/B via tools/probe_r3.py).
+    n_groups = max(1, min(max_groups, sublanes // GROUP_ROWS))
     rows = sublanes // n_groups
     n_words = (n_groups + 31) // 32
     # half_leaf: stack entries additionally carry per-SUBGROUP bits (8-row
@@ -312,6 +407,7 @@ def _kernel(
         nsem_ref = next(it) if tables_hbm else None
         tbuf_ref = next(it) if tables_hbm else None
         tsem_ref = next(it) if tables_hbm else None
+        iray_ref = next(it) if (bit_loop and not two_level) else None
         ox = rays_ref[0, 0]
         oy = rays_ref[0, 1]
         oz = rays_ref[0, 2]
@@ -331,6 +427,10 @@ def _kernel(
 
         ix, iy, iz = inv3(dx, dy, dz)
         world_rays = (ox, oy, oz, dx, dy, dz, ix, iy, iz)
+        if iray_ref is not None:
+            iray_ref[0] = ix
+            iray_ref[1] = iy
+            iray_ref[2] = iz
 
         if two_level:
             # Traversal reads rays from the tray scratch: object-space while
@@ -340,12 +440,29 @@ def _kernel(
             for k in range(9):
                 tray_ref[k] = world_rays[k]
 
-            def ray_slice(k, sl):
-                return tray_ref[k, sl]
+            def ray_slice(k, start, size):
+                return tray_ref[k, pl.ds(start, size)]
+        elif bit_loop:
+            # Traced (bit-loop) starts: Mosaic cannot dynamic-slice VALUES,
+            # only refs — o/d come straight from the rays ref; the computed
+            # inverses live in a small scratch filled once below (iray_ref,
+            # allocated at the end of this function's shapes list).
+
+            def ray_slice(k, start, size):
+                if k < 6:
+                    return rays_ref[0, k, pl.ds(start, size)]
+                return iray_ref[k - 6, pl.ds(start, size)]
         else:
 
-            def ray_slice(k, sl):
-                return world_rays[k][sl]
+            def ray_slice(k, start, size):
+                return world_rays[k][start : start + size]
+
+        def _aligned(start):
+            # pl.multiple_of only accepts traced values; static starts are
+            # already exact.
+            if isinstance(start, int):
+                return start
+            return pl.multiple_of(start, GROUP_ROWS)
 
         # Hit state lives in the output ref so leaf groups can update their
         # own [rows, 128] slab without touching the rest of the packet.
@@ -473,15 +590,21 @@ def _kernel(
                     """Min-tn per (child slot, row-half) over group g's rays
                     ([width, n_half, 128]; inf where the slot's box was
                     missed). The half split is free: the same stacked
-                    reduction folds rows//n_half instead of rows."""
-                    sl = slice(g * rows, (g + 1) * rows)
+                    reduction folds rows//n_half instead of rows. g may be
+                    traced (bit_loop) — every access is a GROUP_ROWS-aligned
+                    dynamic slice."""
+                    start = _aligned(g * rows)
                     gox, goy, goz = (
-                        ray_slice(0, sl), ray_slice(1, sl), ray_slice(2, sl)
+                        ray_slice(0, start, rows),
+                        ray_slice(1, start, rows),
+                        ray_slice(2, start, rows),
                     )
                     gix, giy, giz = (
-                        ray_slice(6, sl), ray_slice(7, sl), ray_slice(8, sl)
+                        ray_slice(6, start, rows),
+                        ray_slice(7, start, rows),
+                        ray_slice(8, start, rows),
                     )
-                    bt = out_ref[0, 0, sl]
+                    bt = out_ref[0, 0, pl.ds(start, rows)]
                     masked = []
                     for s in range(width):
                         cminx, cminy, cminz, cmaxx, cmaxy, cmaxz = boxes[s]
@@ -517,52 +640,113 @@ def _kernel(
                         for h in range(n_half)
                     )
 
-                gvecs = []
-                for g in range(n_groups):
-                    gvecs.append(
-                        jax.lax.cond(
-                            g_active(g),
-                            functools.partial(group_keys, g),
-                            lambda: tuple(
-                                jnp.full((width, 128), jnp.inf, jnp.float32)
-                                for _ in range(n_half)
-                            ),
+                if bit_loop:
+                    # Iterate only the SET group bits: per-pop scalar cost is
+                    # the popcount (~4-6 on bounces) instead of n_groups
+                    # branches. Box tests, finish bits, and the near-first
+                    # merge accumulate through the while carry.
+                    def nbody(g, extra):
+                        merged = extra[0]
+                        bw = list(extra[1 : 1 + n_words])
+                        hw = list(extra[1 + n_words :])
+                        gv = group_keys(g)
+                        merged = jnp.minimum(
+                            merged, functools.reduce(jnp.minimum, gv)
                         )
-                    )
-                merged = functools.reduce(
-                    jnp.minimum,
-                    [functools.reduce(jnp.minimum, gv) for gv in gvecs],
-                )  # [width, 128]
-                keys_vec = jnp.min(merged, axis=1)  # [width]
-                bits_words = [
-                    jnp.zeros((width,), jnp.int32) for _ in range(n_words)
-                ]
-                half_words = [
-                    jnp.zeros((width,), jnp.int32) for _ in range(hw_words)
-                ]
-                for g in range(n_groups):
-                    hfin = [
-                        jnp.min(gvecs[g][h], axis=1) < jnp.inf  # [width]
-                        for h in range(n_half)
-                    ]
-                    gfin = functools.reduce(jnp.logical_or, hfin)
-                    bits_words[g // 32] = bits_words[g // 32] | jnp.where(
-                        gfin,
-                        jnp.left_shift(jnp.int32(1), jnp.int32(g % 32)),
-                        0,
-                    )
-                    if n_half > 1:
+                        hfin = [
+                            jnp.min(gv[h], axis=1) < jnp.inf
+                            for h in range(n_half)
+                        ]
+                        gfin = functools.reduce(jnp.logical_or, hfin)
+                        sh = jnp.left_shift(jnp.int32(1), g & 31)
+                        if n_words == 1:
+                            bw[0] = bw[0] | jnp.where(gfin, sh, 0)
+                        else:
+                            in0 = g < 32
+                            bw[0] = bw[0] | jnp.where(gfin & in0, sh, 0)
+                            bw[1] = bw[1] | jnp.where(
+                                gfin & jnp.logical_not(in0), sh, 0
+                            )
                         for h in range(n_half):
                             b = n_half * g + h
-                            half_words[b // 32] = half_words[b // 32] | (
-                                jnp.where(
-                                    hfin[h],
-                                    jnp.left_shift(
-                                        jnp.int32(1), jnp.int32(b % 32)
-                                    ),
-                                    0,
+                            shh = jnp.left_shift(jnp.int32(1), b & 31)
+                            if hw_words == 1:
+                                hw[0] = hw[0] | jnp.where(hfin[h], shh, 0)
+                            elif hw_words > 1:
+                                in0h = b < 32
+                                hw[0] = hw[0] | jnp.where(
+                                    hfin[h] & in0h, shh, 0
                                 )
+                                hw[1] = hw[1] | jnp.where(
+                                    hfin[h] & jnp.logical_not(in0h), shh, 0
+                                )
+                        if n_half == 1:
+                            hw = []
+                        return (merged, *bw, *hw)
+
+                    outs = _bit_iter(
+                        list(mbits_w),
+                        nbody,
+                        (jnp.full((width, 128), jnp.inf, jnp.float32),)
+                        + tuple(
+                            jnp.zeros((width,), jnp.int32)
+                            for _ in range(n_words + hw_words)
+                        ),
+                    )
+                    merged = outs[0]
+                    bits_words = list(outs[1 : 1 + n_words])
+                    half_words = list(outs[1 + n_words :])
+                    keys_vec = jnp.min(merged, axis=1)  # [width]
+                else:
+                    gvecs = []
+                    for g in range(n_groups):
+                        gvecs.append(
+                            jax.lax.cond(
+                                g_active(g),
+                                functools.partial(group_keys, g),
+                                lambda: tuple(
+                                    jnp.full(
+                                        (width, 128), jnp.inf, jnp.float32
+                                    )
+                                    for _ in range(n_half)
+                                ),
                             )
+                        )
+                    merged = functools.reduce(
+                        jnp.minimum,
+                        [functools.reduce(jnp.minimum, gv) for gv in gvecs],
+                    )  # [width, 128]
+                    keys_vec = jnp.min(merged, axis=1)  # [width]
+                    bits_words = [
+                        jnp.zeros((width,), jnp.int32) for _ in range(n_words)
+                    ]
+                    half_words = [
+                        jnp.zeros((width,), jnp.int32)
+                        for _ in range(hw_words)
+                    ]
+                    for g in range(n_groups):
+                        hfin = [
+                            jnp.min(gvecs[g][h], axis=1) < jnp.inf  # [width]
+                            for h in range(n_half)
+                        ]
+                        gfin = functools.reduce(jnp.logical_or, hfin)
+                        bits_words[g // 32] = bits_words[g // 32] | jnp.where(
+                            gfin,
+                            jnp.left_shift(jnp.int32(1), jnp.int32(g % 32)),
+                            0,
+                        )
+                        if n_half > 1:
+                            for h in range(n_half):
+                                b = n_half * g + h
+                                half_words[b // 32] = half_words[b // 32] | (
+                                    jnp.where(
+                                        hfin[h],
+                                        jnp.left_shift(
+                                            jnp.int32(1), jnp.int32(b % 32)
+                                        ),
+                                        0,
+                                    )
+                                )
 
                 keys = [keys_vec[s] for s in range(width)]
                 bits = [
@@ -685,25 +869,28 @@ def _kernel(
                 def extract_tris():
                     # Triangle scalars extracted once; broadcast inside each
                     # active block's predicated body.
+                    per_tri = 12 if bw_leaf else 9
                     tris = []
                     for j in range(leaf_size):
-                        b = j * 9
+                        b = j * per_tri
                         tris.append(
-                            (
-                                crow[b], crow[b + 1], crow[b + 2],
-                                crow[b + 3], crow[b + 4], crow[b + 5],
-                                crow[b + 6], crow[b + 7], crow[b + 8],
-                                crow[9 * leaf_size + j],
-                            )
+                            tuple(crow[b + i] for i in range(per_tri))
+                            + (crow[per_tri * leaf_size + j],)
                         )
                     return tris
 
-                def moller_block(tris, sl):
+                def moller_block(tris, start, blk):
+                    start = _aligned(start)
+                    sl = pl.ds(start, blk)
                     gox, goy, goz = (
-                        ray_slice(0, sl), ray_slice(1, sl), ray_slice(2, sl)
+                        ray_slice(0, start, blk),
+                        ray_slice(1, start, blk),
+                        ray_slice(2, start, blk),
                     )
                     gdx, gdy, gdz = (
-                        ray_slice(3, sl), ray_slice(4, sl), ray_slice(5, sl)
+                        ray_slice(3, start, blk),
+                        ray_slice(4, start, blk),
+                        ray_slice(5, start, blk),
                     )
                     if mixed_hit:
                         # Per-lane any-hit flag (rays row 7; world-invariant
@@ -716,7 +903,49 @@ def _kernel(
                     if two_level:
                         binst = out_ref[0, 4, sl]
                         hit_any = jnp.zeros_like(bt, dtype=jnp.bool_)
-                    if div_free:
+                    if bw_leaf:
+                        # Baldwin–Weber: t from the precomputed plane, u/v
+                        # from the two projection rows — no cross products in
+                        # the hot loop (~38 ops/tri vs Möller's ~49).
+                        for (
+                            nx, ny, nz, d0c,
+                            n1x, n1y, n1z, d1c,
+                            n2x, n2y, n2z, d2c, tid,
+                        ) in tris:
+                            nd = nx * gdx + ny * gdy + nz * gdz
+                            no = nx * gox + ny * goy + nz * goz + d0c
+                            inv = jnp.where(
+                                jnp.abs(nd) > 1e-12, 1.0 / nd, 0.0
+                            )
+                            tt = -no * inv
+                            uu = (
+                                n1x * gox + n1y * goy + n1z * goz + d1c
+                            ) + tt * (n1x * gdx + n1y * gdy + n1z * gdz)
+                            vv = (
+                                n2x * gox + n2y * goy + n2z * goz + d2c
+                            ) + tt * (n2x * gdx + n2y * gdy + n2z * gdz)
+                            ok = (
+                                (jnp.abs(nd) > 1e-12)
+                                & (uu >= 0.0)
+                                & (vv >= 0.0)
+                                & (uu + vv <= 1.0)
+                                & (tt > t_min)
+                                & (tt < bt)
+                                & (tid >= 0.0)
+                            )
+                            if any_hit:
+                                t_new = jnp.zeros_like(tt)
+                            elif mixed_hit:
+                                t_new = jnp.where(ah, 0.0, tt)
+                            else:
+                                t_new = tt
+                            bt = jnp.where(ok, t_new, bt)
+                            bu = jnp.where(ok, uu, bu)
+                            bv = jnp.where(ok, vv, bv)
+                            bid = jnp.where(ok, tid, bid)
+                            if two_level:
+                                hit_any = hit_any | ok
+                    elif div_free:
                         # Division-free Möller: track the block-best hit as
                         # a (numerator, |det|) pair — sign-corrected so all
                         # comparisons are cross-multiplications — and divide
@@ -845,27 +1074,50 @@ def _kernel(
                 # round 2's any-hit blocked-skip. Cluster AABBs remain packed
                 # in row lanes [10L, 10L+6) for layout-compatible retries.)
                 tris = extract_tris()
-                for g in range(n_groups):
-                    # (An extra any-hit per-group "all blocked" skip measured
-                    # a 2.4x REGRESSION here: n_groups unconditional [8,128]
-                    # reductions per leaf pop cost more than skipped groups
-                    # save. Group bits alone carry the work skipping.)
-                    @pl.when(g_active(g))
-                    def _(g=g):
-                        if n_half == 1:
-                            moller_block(
-                                tris, slice(g * rows, (g + 1) * rows)
-                            )
-                        else:
-                            # Half-group predication: the bits were computed
-                            # at push time (free vector split), so this is a
-                            # pure scalar SMEM test — no VPU drain.
-                            hr = rows // n_half
-                            for h in range(n_half):
-                                @pl.when(h_active(g, h))
-                                def _(g=g, h=h):
-                                    lo = g * rows + h * hr
-                                    moller_block(tris, slice(lo, lo + hr))
+                if bit_loop:
+                    # Iterate only the SET activation bits (finest available
+                    # granularity: half bits when n_half > 1, group bits
+                    # otherwise) — scalar cost per pop = popcount, and the
+                    # Möller slab start is a traced, GROUP_ROWS-aligned
+                    # dynamic offset.
+                    if n_half > 1:
+                        hr = rows // n_half
+
+                        def lbody(b, extra):
+                            moller_block(tris, b * hr, hr)
+                            return extra
+
+                        _bit_iter(list(hbits_w), lbody, ())
+                    else:
+
+                        def lbody(g, extra):
+                            moller_block(tris, g * rows, rows)
+                            return extra
+
+                        _bit_iter(list(mbits_w), lbody, ())
+                else:
+                    for g in range(n_groups):
+                        # (An extra any-hit per-group "all blocked" skip
+                        # measured a 2.4x REGRESSION here: n_groups
+                        # unconditional [8,128] reductions per leaf pop cost
+                        # more than skipped groups save. Group bits alone
+                        # carry the work skipping.)
+                        @pl.when(g_active(g))
+                        def _(g=g):
+                            if n_half == 1:
+                                moller_block(tris, g * rows, rows)
+                            else:
+                                # Half-group predication: the bits were
+                                # computed at push time (free vector split),
+                                # so this is a pure scalar SMEM test — no
+                                # VPU drain.
+                                hr = rows // n_half
+                                for h in range(n_half):
+                                    @pl.when(h_active(g, h))
+                                    def _(g=g, h=h):
+                                        moller_block(
+                                            tris, g * rows + h * hr, hr
+                                        )
 
                 return sp
 
@@ -1003,6 +1255,8 @@ def _kernel(
         shapes.append(pltpu.SemaphoreType.DMA(()))
         shapes.append(pltpu.VMEM((1,) + clusters_ref.shape[1:], jnp.float32))
         shapes.append(pltpu.SemaphoreType.DMA(()))
+    if bit_loop and not two_level:
+        shapes.append(pltpu.VMEM((3, sublanes, 128), jnp.float32))
     pl.run_scoped(scoped, *shapes)
 
 
@@ -1020,6 +1274,8 @@ def packet_intersect(
     half_leaf: bool = False,
     div_free: bool = False,
     rank_push: bool = False,
+    bit_loop: bool = False,
+    max_groups: int = 32,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the packet kernel. N is padded to a multiple
     of PACKET; callers should order rays coherently (tiles / sorted queues).
@@ -1051,7 +1307,8 @@ def packet_intersect(
         width=pt.width, stack=stack, stats=stats, clusters_hbm=clusters_hbm,
         two_level=two_level, tlas_nodes=pt.tlas_nodes,
         num_clusters=pt.num_clusters, half_leaf=half_leaf,
-        div_free=div_free, rank_push=rank_push,
+        div_free=div_free, rank_push=rank_push, bit_loop=bit_loop,
+        max_groups=max_groups, bw_leaf=pt.bw_leaf,
     )
     # Explicit HBM (not ANY): the compiler may otherwise place wide cluster
     # tables in VMEM, where 1-row DMA slices hit sublane-tiling limits.
@@ -1131,6 +1388,8 @@ def packet_intersect_segments(
     step_cull: bool = False,
     tables_hbm: bool = False,
     vmem_limit: int | None = None,
+    bit_loop: bool = False,
+    max_groups: int = 32,
 ) -> jax.Array:
     """Segment-grid packet traversal over per-treelet tables (see
     ops/treelets.py driver + _kernel docstring). Returns [4, S*p] rows
@@ -1166,7 +1425,8 @@ def packet_intersect_segments(
         width=tt.width, stack=stack, seg=True, stats=stats,
         half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
         mixed_hit=anyhit_row is not None, seg_cull=step_cull,
-        tables_hbm=tables_hbm,
+        tables_hbm=tables_hbm, bit_loop=bit_loop, max_groups=max_groups,
+        bw_leaf=getattr(tt, "bw_leaf", False),
     )
     row_len = tt.node_tables.shape[2]
     lane = tt.cluster_tables.shape[2]

@@ -57,6 +57,7 @@ class TreeletTables(NamedTuple):
     max_nodes: int
     max_clusters: int
     leaf_aabb: bool = False  # cluster rows carry AABBs in lanes [10L, 10L+6)
+    bw_leaf: bool = False  # Baldwin–Weber cluster rows (traverse_kernel)
 
 
 def _median_partition(centroids: np.ndarray, max_items: int) -> list[np.ndarray]:
@@ -141,6 +142,7 @@ def build_treelets_host(
     width: int = 16,
     max_tris: int = 98304,
     partition: str = "sah",
+    bw_leaf: bool = False,
 ) -> TreeletTables:
     """Partition triangles into treelets and build each treelet's wide
     cluster BVH (host numpy end-to-end — device pulls through a tunneled TPU
@@ -161,20 +163,21 @@ def build_treelets_host(
     else:
         parts = _median_partition(cent, max_tris)
 
+    per_tri = 12 if bw_leaf else 9
     nodes, clusters, aabbs, depth = [], [], [], 1
     for idx in parts:
         cb = cb_mod.build_cluster_bvh_host(
             v0[idx], v1[idx], v2[idx], leaf_size, width=width
         )
-        pt = tk.pack_tables_host(cb)
+        pt = tk.pack_tables_host(cb, bw_leaf=bw_leaf)
         ct = np.array(pt.cluster_table)  # writable copy (tid remap below)
         # Remap local tri ids → global (float rows; ids exact below 2^24).
         ls = pt.leaf_size
-        local = ct[:, 9 * ls : 10 * ls].astype(np.int64)
+        local = ct[:, per_tri * ls : (per_tri + 1) * ls].astype(np.int64)
         remapped = np.where(
             local >= 0, idx[np.clip(local, 0, idx.size - 1)], -1
         )
-        ct[:, 9 * ls : 10 * ls] = remapped.astype(np.float32)
+        ct[:, per_tri * ls : (per_tri + 1) * ls] = remapped.astype(np.float32)
         nodes.append(np.asarray(pt.node_table))
         clusters.append(ct)
         lo = np.minimum(np.minimum(v0[idx].min(0), v1[idx].min(0)), v2[idx].min(0))
@@ -189,11 +192,13 @@ def build_treelets_host(
     lane = clusters[0].shape[1]
     node_t = np.zeros((k, mt, row_len), np.float32)
     clus_t = np.zeros((k, ctm, lane), np.float32)
-    # Padding cluster rows: degenerate tris (e1=e2=0 → det 0) + tid -1, and
-    # inverted AABBs so half-culling skips them outright.
-    clus_t[:, :, 9 * leaf_size : 10 * leaf_size] = -1.0
-    clus_t[:, :, 10 * leaf_size : 10 * leaf_size + 3] = 1e30
-    clus_t[:, :, 10 * leaf_size + 3 : 10 * leaf_size + 6] = -1e30
+    # Padding cluster rows: degenerate tris (all-zero rows → det/nd 0) +
+    # tid -1, and inverted AABBs so half-culling skips them outright.
+    tid0 = per_tri * leaf_size
+    clus_t[:, :, tid0 : tid0 + leaf_size] = -1.0
+    ab0 = (per_tri + 1) * leaf_size
+    clus_t[:, :, ab0 : ab0 + 3] = 1e30
+    clus_t[:, :, ab0 + 3 : ab0 + 6] = -1e30
     # Padding node rows: every slot an inverted box with empty code -1.
     node_t[:, :, 0 : 3 * width] = 1e30
     node_t[:, :, 3 * width : 6 * width] = -1e30
@@ -214,6 +219,7 @@ def build_treelets_host(
         max_nodes=mt,
         max_clusters=ctm,
         leaf_aabb=True,
+        bw_leaf=bw_leaf,
     )
 
 
@@ -268,6 +274,8 @@ def _run_segments(
     step_cull: bool = False,
     tables_hbm: bool = False,
     vmem_limit=None,
+    bit_loop: bool = False,
+    max_groups: int = 32,
 ):
     """Segment metadata + kernel launch: per-segment near-first candidate
     lists (sentinel slots repeat the last valid id so Pallas keeps the
@@ -279,7 +287,7 @@ def _run_segments(
     p = sublanes * 128
     n_pad = o.shape[0]
     s_count = n_pad // p
-    groups = max(1, min(32, sublanes // GROUP_ROWS))  # match _kernel's cap
+    groups = max(1, min(max_groups, sublanes // GROUP_ROWS))  # _kernel's cap
     rows_per_group = sublanes // groups
     n_words = (groups + 31) // 32  # must match _kernel's word split
 
@@ -335,7 +343,8 @@ def _run_segments(
         t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
         stats=stats, half_leaf=half_leaf, div_free=div_free,
         rank_push=rank_push, anyhit_row=anyhit_row, step_cull=step_cull,
-        tables_hbm=tables_hbm, vmem_limit=vmem_limit,
+        tables_hbm=tables_hbm, vmem_limit=vmem_limit, bit_loop=bit_loop,
+        max_groups=max_groups,
     )
 
 
@@ -359,6 +368,8 @@ def treelet_intersect(
     step_cull: bool = False,
     tables_hbm: bool = False,
     vmem_limit=None,
+    bit_loop: bool = False,
+    max_groups: int = 32,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
 
@@ -479,6 +490,7 @@ def treelet_intersect(
         sublanes=sublanes, e_cap=e_cap, stats=stats, half_leaf=half_leaf,
         div_free=div_free, rank_push=rank_push, anyhit_row=ah,
         step_cull=step_cull, tables_hbm=tables_hbm, vmem_limit=vmem_limit,
+        bit_loop=bit_loop, max_groups=max_groups,
     )
     if stats:
         out, stat_rows = out
@@ -714,6 +726,9 @@ def treelet_backend(
     tables_hbm: bool = False,
     vmem_limit: int | None = 32_000_000,
     vmem_budget: float | None = None,
+    bit_loop="auto",
+    max_groups: int = 64,
+    bw_leaf: bool = False,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
     arguments (ops/backend.py). Configs that would overflow VMEM are
@@ -731,6 +746,12 @@ def treelet_backend(
       bounce paths (isect/capped) where node pops dominate (+6.7% bounce);
       the Batcher network stays for primaries (−2% under rank_push) and
       any-hit occlusion (−4%).
+    - bit_loop "auto" + max_groups 64: bit-loop pops (scalar cost =
+      popcount of the activation mask) with 8-row groups on the sorted
+      bounce/occlusion/capped paths — bounce +16%, occl mix +19%
+      (2026-08-19 same-process A/B); presorted primaries keep the
+      per-group lax.cond path (−6% under bit_loop: activations are dense,
+      loop overhead beats the saved branches).
 
     shadow_chunk: sort_chunk granularity for occlusion traces — leave at 1
     (chunked sorting measured negative everywhere, see treelet_intersect).
@@ -759,7 +780,7 @@ def treelet_backend(
         v0, v1, v2 = scene.tri_vertices()
     tt = build_treelets_host(
         v0, v1, v2, leaf_size, width=width, max_tris=max_tris,
-        partition=partition,
+        partition=partition, bw_leaf=bw_leaf,
     )
     # VMEM auto-fit: the segment kernel keeps 2× (node+cluster) table
     # blocks (revolving DMA window) + 2× the rays [8,S,128] / out [4,S,128]
@@ -791,7 +812,7 @@ def treelet_backend(
         max_tris //= 2
         tt = build_treelets_host(
             v0, v1, v2, leaf_size, width=width, max_tris=max_tris,
-            partition=partition,
+            partition=partition, bw_leaf=bw_leaf,
         )
     meta = tt._replace(node_tables=None, cluster_tables=None, aabb=None)
     arrays = {
@@ -812,12 +833,22 @@ def treelet_backend(
     # Batcher network / unordered pushes.
     rp_bounce = rank_push in (True, "bounce")
     rp_other = rank_push is True
+    # Per-population bit-loop pops (2026-08-19 same-process A/B, 2M rays,
+    # 98k/leaf24/512 sublanes): bit_loop + max_groups=64 wins bounce +16%
+    # and occl mix +19% (scalar cost = popcount, 8-row group granularity),
+    # but LOSES 6% on presorted primaries (dense activations → loop
+    # overhead beats the saved branches) — primaries keep the cond path.
+    bl_sorted = bit_loop in (True, "auto")
+    bl_primary = bit_loop is True
+    mg_sorted = max_groups if bl_sorted else 32
+    mg_primary = max_groups if bl_primary else 32
 
     def isect_fn(arrays, o, d):
         return treelet_intersect(
             _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
             half_leaf=half_leaf, div_free=div_free, rank_push=rp_bounce,
             step_cull=step_cull, tables_hbm=tables_hbm, vmem_limit=vmem_limit,
+            bit_loop=bl_sorted, max_groups=mg_sorted,
         )
 
     def occl_fn(arrays, o, d, tmax):
@@ -826,6 +857,7 @@ def treelet_backend(
             interpret=interpret, sublanes=sublanes, sort_chunk=shadow_chunk,
             half_leaf=half_leaf, div_free=div_free, rank_push=rp_other,
             step_cull=step_cull, tables_hbm=tables_hbm, vmem_limit=vmem_limit,
+            bit_loop=bl_sorted, max_groups=mg_sorted,
         ).hit
 
     def capped_fn(arrays, o, d, tmax, anyhit=None):
@@ -841,6 +873,7 @@ def treelet_backend(
             sublanes=sublanes, half_leaf=half_leaf, div_free=div_free,
             rank_push=rp_bounce, anyhit_mask=anyhit, step_cull=step_cull,
             tables_hbm=tables_hbm, vmem_limit=vmem_limit,
+            bit_loop=bl_sorted, max_groups=mg_sorted,
         )
 
     def primary_fn(arrays, o, d):
@@ -849,6 +882,7 @@ def treelet_backend(
             presorted=primary_presorted, half_leaf=half_leaf,
             div_free=div_free, rank_push=rp_other, step_cull=step_cull,
             tables_hbm=tables_hbm, vmem_limit=vmem_limit,
+            bit_loop=bl_primary, max_groups=mg_primary,
         )
 
     return TraceBackend(

@@ -353,3 +353,97 @@ def test_leaf_sizes_agree(soup_tt):
             np.testing.assert_allclose(
                 np.asarray(ref.t), np.asarray(h.t), atol=1e-5
             )
+
+
+def test_bit_loop_matches_cond_path(soup_tt):
+    """bit_loop iterates only the set activation bits (dynamic-offset Möller
+    slabs + while-carried push bits) — must be bit-identical to the per-group
+    lax.cond path for closest-hit (with half_leaf + rank_push + step_cull),
+    any-hit, and the 8-row BL64 grouping (max_groups=64)."""
+    _, tt = soup_tt
+    o, d = _rays(16 * 128)
+    base = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=16, half_leaf=True,
+        rank_push=True, step_cull=True,
+    )
+    bl = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=16, half_leaf=True,
+        rank_push=True, step_cull=True, bit_loop=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.prim_id), np.asarray(bl.prim_id)
+    )
+    np.testing.assert_allclose(np.asarray(base.t), np.asarray(bl.t), atol=1e-5)
+
+    # BL64: 8-row groups, two mask words, no half split (rows == GROUP_ROWS).
+    bl64 = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=16, half_leaf=True,
+        bit_loop=True, max_groups=64,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.prim_id), np.asarray(bl64.prim_id)
+    )
+    np.testing.assert_allclose(
+        np.asarray(base.t), np.asarray(bl64.t), atol=1e-5
+    )
+
+    occ_b = treelets.treelet_intersect(
+        tt, o, d, t_max=8.0, any_hit=True, interpret=True, sublanes=16
+    )
+    occ_l = treelets.treelet_intersect(
+        tt, o, d, t_max=8.0, any_hit=True, interpret=True, sublanes=16,
+        bit_loop=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occ_b.hit), np.asarray(occ_l.hit))
+
+
+def test_bit_loop_two_word_masks(soup_tt):
+    """BL64 at production sublanes: 512 sublanes / 8-row groups → 64 groups
+    → TWO mask words — exercises _bit_iter's cross-word bit selection."""
+    _, tt = soup_tt
+    o, d = _rays(512 * 128)
+    base = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=512, half_leaf=True
+    )
+    bl64 = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=512, bit_loop=True, max_groups=64,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.prim_id), np.asarray(bl64.prim_id)
+    )
+    np.testing.assert_allclose(
+        np.asarray(base.t), np.asarray(bl64.t), atol=1e-5
+    )
+
+
+def test_bw_leaf_matches_bruteforce():
+    """Baldwin–Weber cluster rows (precomputed plane + projection constants)
+    must reproduce bruteforce Möller hits. t/u/v come from a different
+    formula, so values get a tolerance; ids must agree wherever the hit is
+    not razor-edge ambiguous (fixed seed — deterministic)."""
+    v0, v1, v2 = _soup(900)
+    tt = treelets.build_treelets_host(
+        v0, v1, v2, leaf_size=4, width=8, max_tris=128, bw_leaf=True
+    )
+    assert tt.bw_leaf and tt.num_treelets > 1
+    o, d = _rays(8 * 128 * 2 + 11)
+    hit = treelets.treelet_intersect(tt, o, d, interpret=True, sublanes=8)
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(hb.hit))
+    m = np.asarray(hb.hit)
+    np.testing.assert_allclose(
+        np.asarray(hit.t)[m], np.asarray(hb.t)[m], rtol=2e-4, atol=1e-5
+    )
+    same = np.asarray(hit.prim_id)[m] == np.asarray(hb.prim_id)[m]
+    assert same.mean() > 0.999, f"prim_id mismatch rate {1 - same.mean():.4f}"
+
+    # any-hit occlusion booleans through the same rows
+    occ = treelets.treelet_intersect(
+        tt, o, d, t_max=8.0, any_hit=True, interpret=True, sublanes=8
+    )
+    ob = intersect.occluded_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2), t_max=8.0
+    )
+    np.testing.assert_array_equal(np.asarray(occ.hit), np.asarray(ob))

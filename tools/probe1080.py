@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--sublanes", type=int, default=512)
     ap.add_argument("--skip-frames", action="store_true")
     ap.add_argument("--skip-micro", action="store_true")
+    ap.add_argument("--samples", type=int, default=1,
+                    help="sample-batched wavefront density (frame cases run "
+                         "at samples*n lanes; attribute the samples=8 bench "
+                         "regression: driver sorts scale with lanes)")
+    ap.add_argument("--fuse-shadow", action="store_true",
+                    help="fused shadow+bounce launches in the frame cases")
     args = ap.parse_args()
 
     from raytracer3_tpu.ops import treelets
@@ -58,7 +64,8 @@ def main():
     tt = backend.meta
 
     settings = RenderSettings(
-        width=w, height=h, bounces=4, samples=1, radiance_clamp=50.0
+        width=w, height=h, bounces=4, samples=args.samples,
+        sample_batch=args.samples > 1, radiance_clamp=50.0,
     )
 
     def frame_fn(stub=False, nee=True, bounces=4):
@@ -84,6 +91,11 @@ def main():
             radiance, traced = wavefront.render_frame(
                 scene_, cam, st, fi, isect, occl if nee else None,
                 sort_rays=False, return_stats=True,
+                primary_fn=None if stub else backend.bind_primary(bvh),
+                fused_fn=(
+                    backend.bind_capped(bvh)
+                    if (args.fuse_shadow and not stub) else None
+                ),
             )
             return film_mod.accumulate_progressive(film, radiance), traced
 

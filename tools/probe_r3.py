@@ -103,7 +103,7 @@ def main():
 
     def isect_fn(presorted=False, chunk=1, any_hit=False, per_ray_t=False,
                  half_leaf=False, div_free=False, rank_push=False,
-                 step_cull=False):
+                 step_cull=False, bit_loop=False, max_groups=32):
         @jax.jit
         def f(nt, ct, ab_, o_, d_, tm):
             tt2 = tt._replace(node_tables=nt, cluster_tables=ct, aabb=ab_)
@@ -112,7 +112,8 @@ def main():
                 sublanes=args.sublanes, presorted=presorted, sort_chunk=chunk,
                 half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
                 step_cull=step_cull, tables_hbm=args.tables_hbm,
-                vmem_limit=vmem_limit,
+                vmem_limit=vmem_limit, bit_loop=bit_loop,
+                max_groups=max_groups,
             )
             return jnp.sum(hh.t) + jnp.sum(hh.prim_id)
 
@@ -220,6 +221,43 @@ def main():
              o_rand, d_sun, 100.0),
             ("occl mix",
              isect_fn(any_hit=True, half_leaf=True, step_cull=True),
+             o_rand, d_mix, t_mix),
+        ]
+        for tag, f, o_, d_, tm in cases:
+            tm_a = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), (n,))
+            dt = _time(f, nodes, clus, ab, o_, d_, tm_a, reps=3)
+            print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
+                  flush=True)
+
+    if args.what == "bitloop":
+        # Bit-loop pops (iterate set mask bits; scalar cost = popcount) at
+        # production flags, plus the BL64 variant (8-row groups, two words)
+        # the lax.cond path could not afford. Run a same-process "prod"
+        # baseline first (--what prod) for the A/B.
+        cases = [
+            ("primary presorted BL",
+             isect_fn(presorted=True, half_leaf=True, step_cull=True,
+                      bit_loop=True),
+             o_tile, d_tile, BG),
+            ("bounce sorted BL",
+             isect_fn(half_leaf=True, step_cull=True, rank_push=True,
+                      bit_loop=True),
+             o_rand, d_rand, BG),
+            ("occl sun BL",
+             isect_fn(any_hit=True, half_leaf=True, step_cull=True,
+                      bit_loop=True),
+             o_rand, d_sun, 100.0),
+            ("occl mix BL",
+             isect_fn(any_hit=True, half_leaf=True, step_cull=True,
+                      bit_loop=True),
+             o_rand, d_mix, t_mix),
+            ("bounce sorted BL64",
+             isect_fn(step_cull=True, rank_push=True, bit_loop=True,
+                      max_groups=64),
+             o_rand, d_rand, BG),
+            ("occl mix BL64",
+             isect_fn(any_hit=True, step_cull=True, bit_loop=True,
+                      max_groups=64),
              o_rand, d_mix, t_mix),
         ]
         for tag, f, o_, d_, tm in cases:
