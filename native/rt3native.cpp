@@ -320,20 +320,14 @@ static float half_area(const float* mn, const float* mx) {
   return dx * dy + dy * dz + dz * dx;
 }
 
-static int sah_build(SahCtx& c, int lo, int hi) {
+// Partition prim[lo, hi) in place by binned SAH over the widest centroid
+// axis (median fallback); returns mid. Shared by the BVH build and the
+// SAH-split clustering.
+static int sah_partition_range(SahCtx& c, int lo, int hi) {
   int count = hi - lo;
-  if (count == 1) return (c.n - 1) + lo;  // leaf id = (P-1) + position
-
   float mn[3], mx[3], cmn[3], cmx[3];
   sah_union(c, lo, hi, mn, mx, cmn, cmx);
 
-  int node = c.next_internal++;
-  for (int k = 0; k < 3; ++k) {
-    c.nmin[node * 3 + k] = mn[k];
-    c.nmax[node * 3 + k] = mx[k];
-  }
-
-  // Pick split: binned SAH over the widest centroid axis; median fallback.
   int axis = 0;
   float ext[3] = {cmx[0] - cmn[0], cmx[1] - cmn[1], cmx[2] - cmn[2]};
   if (ext[1] > ext[axis]) axis = 1;
@@ -408,6 +402,23 @@ static int sah_build(SahCtx& c, int lo, int hi) {
         c.prim.begin() + lo, c.prim.begin() + mid, c.prim.begin() + hi,
         [&](int a, int b) { return c.cent[a * 3 + axis] < c.cent[b * 3 + axis]; });
   }
+  return mid;
+}
+
+static int sah_build(SahCtx& c, int lo, int hi) {
+  int count = hi - lo;
+  if (count == 1) return (c.n - 1) + lo;  // leaf id = (P-1) + position
+
+  int node = c.next_internal++;
+  {
+    float mn[3], mx[3], cmn[3], cmx[3];
+    sah_union(c, lo, hi, mn, mx, cmn, cmx);
+    for (int k = 0; k < 3; ++k) {
+      c.nmin[node * 3 + k] = mn[k];
+      c.nmax[node * 3 + k] = mx[k];
+    }
+  }
+  int mid = sah_partition_range(c, lo, hi);
   c.left[node] = sah_build(c, lo, mid);
   c.right[node] = sah_build(c, mid, hi);
   return node;
@@ -482,6 +493,37 @@ int rt3_build_clusters(const float* bmin, const float* bmax, int n,
   for (int i = 0; i < n; ++i) c.prim[i] = i;
   int next_cluster = 0;
   cluster_rec(c, 0, n, leaf_size, cluster_of, &next_cluster);
+  return next_cluster;
+}
+
+// SAH-split clustering: same contract as rt3_build_clusters but splits are
+// placed by the binned-SAH sweep instead of the centroid median, so cluster
+// AABBs hug geometry (walls stop being sliced through). Trade-off: splits
+// are unbalanced, so clusters come out underfull on average (more cluster
+// rows + node rows for the same triangles).
+static void cluster_rec_sah(SahCtx& c, int lo, int hi, int leaf_size,
+                            int* cluster_of, int* next_cluster) {
+  int count = hi - lo;
+  if (count <= leaf_size) {
+    int id = (*next_cluster)++;
+    for (int i = lo; i < hi; ++i) cluster_of[c.prim[i]] = id;
+    return;
+  }
+  int mid = sah_partition_range(c, lo, hi);
+  cluster_rec_sah(c, lo, mid, leaf_size, cluster_of, next_cluster);
+  cluster_rec_sah(c, mid, hi, leaf_size, cluster_of, next_cluster);
+}
+
+int rt3_build_clusters_sah(const float* bmin, const float* bmax, int n,
+                           int leaf_size, int* cluster_of) {
+  SahCtx c;
+  c.bmin = bmin; c.bmax = bmax; c.n = n;
+  c.cent.resize((size_t)n * 3);
+  for (int i = 0; i < n * 3; ++i) c.cent[i] = 0.5f * (bmin[i] + bmax[i]);
+  c.prim.resize(n);
+  for (int i = 0; i < n; ++i) c.prim[i] = i;
+  int next_cluster = 0;
+  cluster_rec_sah(c, 0, n, leaf_size, cluster_of, &next_cluster);
   return next_cluster;
 }
 

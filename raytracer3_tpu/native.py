@@ -75,6 +75,8 @@ def get_lib():
         lib.rt3_build_sah_bvh.restype = c_int
         lib.rt3_build_clusters.argtypes = [fp, fp, c_int, c_int, ip]
         lib.rt3_build_clusters.restype = c_int
+        lib.rt3_build_clusters_sah.argtypes = [fp, fp, c_int, c_int, ip]
+        lib.rt3_build_clusters_sah.restype = c_int
         _lib = lib
         return _lib
 
@@ -245,14 +247,24 @@ def build_sah_bvh(bmin: np.ndarray, bmax: np.ndarray):
     )
 
 
-def build_clusters(bmin: np.ndarray, bmax: np.ndarray, leaf_size: int):
-    """SAH-guided clustering: cluster_of [N] int32 (None if lib missing)."""
+def build_clusters(
+    bmin: np.ndarray, bmax: np.ndarray, leaf_size: int, mode: str = "median"
+):
+    """Triangle clustering: cluster_of [N] int32 (None if lib missing).
+
+    mode "median": recursive centroid-median bisection — balanced, every
+    cluster full, counts are powers of two. mode "sah": binned-SAH split
+    placement — tighter cluster AABBs (fewer leaf activations in the packet
+    kernel) at the cost of underfull clusters (more rows)."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(bmin)
     out = np.zeros(n, np.int32)
-    cnt = lib.rt3_build_clusters(
+    fn = (
+        lib.rt3_build_clusters_sah if mode == "sah" else lib.rt3_build_clusters
+    )
+    cnt = fn(
         np.ascontiguousarray(bmin, np.float32),
         np.ascontiguousarray(bmax, np.float32),
         n, leaf_size, out,

@@ -71,9 +71,14 @@ def _host_tree_depth(codes: np.ndarray) -> int:
     return depth
 
 
-def _build_clusters(v0, v1, v2, leaf_size: int, use_sah: bool = True):
-    """Group triangles into clusters of <= leaf_size: SAH median splits via
-    the native library when available (tighter boxes), else Morton blocks."""
+def _build_clusters(
+    v0, v1, v2, leaf_size: int, use_sah: bool = True,
+    cluster_mode: str = "median",
+):
+    """Group triangles into clusters of <= leaf_size via the native library
+    when available (tighter boxes), else Morton blocks. cluster_mode picks
+    median-bisection (balanced, full clusters) vs SAH-split placement
+    (tighter AABBs, underfull clusters) — see native.build_clusters."""
     t = v0.shape[0]
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
@@ -82,7 +87,9 @@ def _build_clusters(v0, v1, v2, leaf_size: int, use_sah: bool = True):
     if use_sah:
         from raytracer3_tpu import native
 
-        res = native.build_clusters(tri_min, tri_max, leaf_size)
+        res = native.build_clusters(
+            tri_min, tri_max, leaf_size, mode=cluster_mode
+        )
         if res is not None:
             cluster_of, c = res
             # Group triangle ids by cluster, pad each cluster to leaf_size.
@@ -143,7 +150,8 @@ def _build_clusters(v0, v1, v2, leaf_size: int, use_sah: bool = True):
 
 
 def build_cluster_bvh_host(
-    v0, v1, v2, leaf_size: int = 8, width: int = 8
+    v0, v1, v2, leaf_size: int = 8, width: int = 8,
+    cluster_mode: str = "median",
 ) -> ClusterBVH:
     """Host-side build: clusters → SAH/LBVH over cluster AABBs → wide
     collapse → packed tables, all numpy. Device↔host traffic is a single
@@ -153,7 +161,9 @@ def build_cluster_bvh_host(
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
-    packed, tri_id, cmin, cmax = _build_clusters(v0, v1, v2, leaf_size)
+    packed, tri_id, cmin, cmax = _build_clusters(
+        v0, v1, v2, leaf_size, cluster_mode=cluster_mode
+    )
     c = cmin.shape[0]
 
     if c == 1:

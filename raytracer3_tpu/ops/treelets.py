@@ -143,6 +143,7 @@ def build_treelets_host(
     max_tris: int = 98304,
     partition: str = "sah",
     bw_leaf: bool = False,
+    cluster_mode: str = "median",
 ) -> TreeletTables:
     """Partition triangles into treelets and build each treelet's wide
     cluster BVH (host numpy end-to-end — device pulls through a tunneled TPU
@@ -167,7 +168,8 @@ def build_treelets_host(
     nodes, clusters, aabbs, depth = [], [], [], 1
     for idx in parts:
         cb = cb_mod.build_cluster_bvh_host(
-            v0[idx], v1[idx], v2[idx], leaf_size, width=width
+            v0[idx], v1[idx], v2[idx], leaf_size, width=width,
+            cluster_mode=cluster_mode,
         )
         pt = tk.pack_tables_host(cb, bw_leaf=bw_leaf)
         ct = np.array(pt.cluster_table)  # writable copy (tid remap below)
@@ -722,6 +724,7 @@ def treelet_backend(
     div_free: bool = False,
     rank_push="bounce",
     partition: str = "sah",
+    cluster_mode: str = "median",
     step_cull: bool = True,
     tables_hbm: bool = False,
     vmem_limit: int | None = 32_000_000,
@@ -780,7 +783,7 @@ def treelet_backend(
         v0, v1, v2 = scene.tri_vertices()
     tt = build_treelets_host(
         v0, v1, v2, leaf_size, width=width, max_tris=max_tris,
-        partition=partition, bw_leaf=bw_leaf,
+        partition=partition, bw_leaf=bw_leaf, cluster_mode=cluster_mode,
     )
     # VMEM auto-fit: the segment kernel keeps 2× (node+cluster) table
     # blocks (revolving DMA window) + 2× the rays [8,S,128] / out [4,S,128]
@@ -812,7 +815,7 @@ def treelet_backend(
         max_tris //= 2
         tt = build_treelets_host(
             v0, v1, v2, leaf_size, width=width, max_tris=max_tris,
-            partition=partition, bw_leaf=bw_leaf,
+            partition=partition, bw_leaf=bw_leaf, cluster_mode=cluster_mode,
         )
     meta = tt._replace(node_tables=None, cluster_tables=None, aabb=None)
     arrays = {

@@ -447,3 +447,26 @@ def test_bw_leaf_matches_bruteforce():
         o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2), t_max=8.0
     )
     np.testing.assert_array_equal(np.asarray(occ.hit), np.asarray(ob))
+
+
+def test_sah_cluster_mode_matches_bruteforce():
+    """cluster_mode="sah" (binned-SAH split placement, native
+    rt3_build_clusters_sah) produces underfull clusters with tighter AABBs
+    — same hits as brute force. Proxy on the 300k atrium: total cluster SA
+    4337 -> 2391 (1.81x) for ~the same cluster count."""
+    v0, v1, v2 = _soup(900, seed=5)
+    tt = treelets.build_treelets_host(
+        v0, v1, v2, leaf_size=4, width=8, max_tris=128, cluster_mode="sah"
+    )
+    assert tt.num_treelets > 1
+    o, d = _rays(8 * 128 * 2 + 11)
+    hit = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=8, half_leaf=True, bit_loop=True
+    )
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit.prim_id), np.asarray(hb.prim_id)
+    )
+    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(hb.t), atol=1e-5)
