@@ -1515,7 +1515,7 @@ def packet_backend(
     scene=None, leaf_size: int = 12, interpret: bool = False,
     sublanes: int = PACKET_SUBLANES, width: int = 16,
     host_tris=None, clusters_hbm: bool | None = None,
-    treelet_sublanes: int = 512,
+    treelet_sublanes: int = 512, cluster_mode: str = "sah",
 ):
     """Build a TraceBackend whose tables travel as jit arguments (see
     ops/backend.py for why closures over device tables are forbidden).
@@ -1542,7 +1542,9 @@ def packet_backend(
             host_tris=(v0, v1, v2), width=width,
             sublanes=treelet_sublanes, interpret=interpret,
         )
-    cb = cb_mod.build_cluster_bvh_host(v0, v1, v2, leaf_size, width=width)
+    cb = cb_mod.build_cluster_bvh_host(
+        v0, v1, v2, leaf_size, width=width, cluster_mode=cluster_mode
+    )
     pt = pack_tables(cb)
     if clusters_hbm is None:
         clusters_hbm = (

@@ -724,7 +724,7 @@ def treelet_backend(
     div_free: bool = False,
     rank_push="bounce",
     partition: str = "sah",
-    cluster_mode: str = "median",
+    cluster_mode: str = "sah",
     step_cull: bool = True,
     tables_hbm: bool = False,
     vmem_limit: int | None = 32_000_000,
@@ -755,6 +755,12 @@ def treelet_backend(
       (2026-08-19 same-process A/B); presorted primaries keep the
       per-group lax.cond path (−6% under bit_loop: activations are dense,
       loop overhead beats the saved branches).
+    - cluster_mode "sah": binned-SAH split placement for triangle clusters
+      (native rt3_build_clusters_sah) — total cluster surface area 1.81×
+      lower than the median bisection on the 300k atrium, so leaf pops
+      activate far less often. Same-process A/B at prod flags (2026-08-19,
+      2M rays): bounce 3.18 → 4.28 Mray/s (+35%), occl mix 8.21 → 10.31
+      (+26%), primary 31.6 → 37.6 (+19%) for +12% table bytes.
 
     shadow_chunk: sort_chunk granularity for occlusion traces — leave at 1
     (chunked sorting measured negative everywhere, see treelet_intersect).

@@ -90,16 +90,21 @@ def main():
     BG = 100000.0
     tm_bg = jnp.full((n,), BG, jnp.float32)
 
-    for ls in [int(x) for x in args.leaves.split(",")]:
+    cases_cfg = [
+        (ls, cm)
+        for ls in [int(x) for x in args.leaves.split(",")]
+        for cm in args.cluster_mode.split(",")
+    ]
+    for ls, cmode in cases_cfg:
         t0 = time.perf_counter()
         tt = treelets.build_treelets_host(
             host[0], host[1], host[2], leaf_size=ls,
             width=args.bvh_width, max_tris=args.max_tris, bw_leaf=args.bw,
-            cluster_mode=args.cluster_mode,
+            cluster_mode=cmode,
         )
         tbytes = (tt.node_tables.nbytes + tt.cluster_tables.nbytes) / 1e6
         print(
-            f"-- leaf {ls}: K={tt.num_treelets} mt={tt.max_nodes} "
+            f"-- leaf {ls} {cmode}: K={tt.num_treelets} mt={tt.max_nodes} "
             f"ct={tt.max_clusters} tables={tbytes:.1f}MB "
             f"build={time.perf_counter()-t0:.1f}s",
             flush=True,

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--tables-hbm", action="store_true",
                     help="single-buffered in-kernel table DMA (treelets "
                          "tables_hbm) — unlocks 2x treelet or segment size")
+    ap.add_argument("--cluster-mode", default="median")
+    ap.add_argument("--bit-loop", action="store_true",
+                    help="bit-loop pops in the density probe cases")
+    ap.add_argument("--max-groups", type=int, default=32)
     ap.add_argument("--vmem-limit", type=float, default=0,
                     help="Mosaic scoped-VMEM budget in bytes (0 = default "
                          "~16M); v5e has 128M physical — raising it admits "
@@ -64,7 +68,7 @@ def main():
     tt = treelets.build_treelets_host(
         host[0], host[1], host[2], leaf_size=args.leaf_size,
         width=args.bvh_width, max_tris=args.max_tris,
-        partition=args.partition,
+        partition=args.partition, cluster_mode=args.cluster_mode,
     )
     print(
         f"tris={host[0].shape[0]} n={n} K={tt.num_treelets} "
@@ -299,8 +303,10 @@ def main():
         # Does bounce throughput rise with ray DENSITY? 2x/4x rays over the
         # same domain -> more rays per morton cell -> purer groups -> fewer
         # pops per ray. If it scales, sample-batched frames are a lever.
-        f = isect_fn(half_leaf=True, step_cull=True, rank_push=True)
-        fo = isect_fn(any_hit=True, half_leaf=True, step_cull=True)
+        f = isect_fn(half_leaf=True, step_cull=True, rank_push=True,
+                     bit_loop=args.bit_loop, max_groups=args.max_groups)
+        fo = isect_fn(any_hit=True, half_leaf=True, step_cull=True,
+                      bit_loop=args.bit_loop, max_groups=args.max_groups)
         for mult in (4, 8, 16):
             nn = n * mult
             # Host-side population build (device pulls through the tunnel
