@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <vector>
 
 extern "C" {
@@ -525,6 +526,130 @@ int rt3_build_clusters_sah(const float* bmin, const float* bmax, int n,
   int next_cluster = 0;
   cluster_rec_sah(c, 0, n, leaf_size, cluster_of, &next_cluster);
   return next_cluster;
+}
+
+// ---------------------------------------------------------------------------
+// Spatial splits (SBVH-style fragments): dice the largest triangles into
+// axis-plane-clipped fragments so cluster AABBs stop being inflated by big
+// floor/wall triangles. A fragment references its ORIGINAL triangle — the
+// intersection math (and u/v/prim_id) is untouched; only the clustering
+// boxes tighten. Splitting is a greedy priority queue on fragment-box
+// surface area, budgeted to at most `max_out` fragments total.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct Frag {
+  int tri;
+  int nv;            // polygon vertex count (triangle clipped by planes)
+  float poly[9][3];  // up to 3 + number-of-clips vertices
+  float mn[3], mx[3];
+  float sa;
+};
+
+inline float frag_sa(const float* mn, const float* mx) {
+  float dx = std::max(mx[0] - mn[0], 0.f), dy = std::max(mx[1] - mn[1], 0.f),
+        dz = std::max(mx[2] - mn[2], 0.f);
+  return dx * dy + dy * dz + dz * dx;
+}
+
+void frag_bounds(Frag& f) {
+  for (int k = 0; k < 3; ++k) { f.mn[k] = FLT_MAX; f.mx[k] = -FLT_MAX; }
+  for (int i = 0; i < f.nv; ++i)
+    for (int k = 0; k < 3; ++k) {
+      f.mn[k] = std::min(f.mn[k], f.poly[i][k]);
+      f.mx[k] = std::max(f.mx[k], f.poly[i][k]);
+    }
+  // Inflate a hair: clip vertices are rounded, and a true-surface point at
+  // a split seam must not fall outside every fragment's box.
+  for (int k = 0; k < 3; ++k) {
+    float eps = 1e-6f * std::max(1.f, std::max(std::fabs(f.mn[k]),
+                                               std::fabs(f.mx[k])));
+    f.mn[k] -= eps;
+    f.mx[k] += eps;
+  }
+  f.sa = frag_sa(f.mn, f.mx);
+}
+
+// Sutherland–Hodgman clip of f's polygon against axis plane x[axis] <= v
+// (keep_low) or >= v. Returns false if the result is empty/degenerate.
+bool frag_clip(const Frag& f, int axis, float v, bool keep_low, Frag& out) {
+  out.tri = f.tri;
+  out.nv = 0;
+  for (int i = 0; i < f.nv; ++i) {
+    const float* a = f.poly[i];
+    const float* b = f.poly[(i + 1) % f.nv];
+    float da = keep_low ? (v - a[axis]) : (a[axis] - v);
+    float db = keep_low ? (v - b[axis]) : (b[axis] - v);
+    if (da >= 0) {
+      if (out.nv >= 9) return false;
+      for (int k = 0; k < 3; ++k) out.poly[out.nv][k] = a[k];
+      out.nv++;
+    }
+    if ((da >= 0) != (db >= 0)) {
+      float t = da / (da - db);
+      if (out.nv >= 9) return false;
+      for (int k = 0; k < 3; ++k)
+        out.poly[out.nv][k] = a[k] + t * (b[k] - a[k]);
+      out.nv++;
+    }
+  }
+  if (out.nv < 3) return false;
+  frag_bounds(out);
+  return true;
+}
+
+}  // namespace
+
+int rt3_split_fragments(const float* v0, const float* v1, const float* v2,
+                        int n, int max_out, int* frag_tri, float* frag_min,
+                        float* frag_max) {
+  std::vector<Frag> frags(n);
+  for (int i = 0; i < n; ++i) {
+    Frag& f = frags[i];
+    f.tri = i;
+    f.nv = 3;
+    for (int k = 0; k < 3; ++k) {
+      f.poly[0][k] = v0[i * 3 + k];
+      f.poly[1][k] = v1[i * 3 + k];
+      f.poly[2][k] = v2[i * 3 + k];
+    }
+    frag_bounds(f);
+  }
+  // Greedy: always split the largest-SA fragment at the midpoint of its
+  // widest axis, until the budget is exhausted or splits stop shrinking.
+  auto cmp = [&](int a, int b) { return frags[a].sa < frags[b].sa; };
+  std::priority_queue<int, std::vector<int>, decltype(cmp)> pq(cmp);
+  for (int i = 0; i < n; ++i) pq.push(i);
+  while ((int)frags.size() < max_out && !pq.empty()) {
+    int fi = pq.top();
+    pq.pop();
+    Frag f = frags[fi];
+    int axis = 0;
+    float ext[3] = {f.mx[0] - f.mn[0], f.mx[1] - f.mn[1], f.mx[2] - f.mn[2]};
+    if (ext[1] > ext[axis]) axis = 1;
+    if (ext[2] > ext[axis]) axis = 2;
+    if (ext[axis] <= 1e-7f) continue;  // degenerate: stop splitting this one
+    float mid = 0.5f * (f.mn[axis] + f.mx[axis]);
+    Frag lo_f, hi_f;
+    if (!frag_clip(f, axis, mid, true, lo_f) ||
+        !frag_clip(f, axis, mid, false, hi_f))
+      continue;
+    // Guard against non-shrinking splits (sliver polygons).
+    if (lo_f.sa + hi_f.sa > 0.99f * 2.f * f.sa) continue;
+    frags[fi] = lo_f;
+    frags.push_back(hi_f);
+    pq.push(fi);
+    pq.push((int)frags.size() - 1);
+  }
+  int m = (int)frags.size();
+  for (int i = 0; i < m; ++i) {
+    frag_tri[i] = frags[i].tri;
+    for (int k = 0; k < 3; ++k) {
+      frag_min[i * 3 + k] = frags[i].mn[k];
+      frag_max[i * 3 + k] = frags[i].mx[k];
+    }
+  }
+  return m;
 }
 
 }  // extern "C"

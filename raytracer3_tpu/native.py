@@ -77,6 +77,8 @@ def get_lib():
         lib.rt3_build_clusters.restype = c_int
         lib.rt3_build_clusters_sah.argtypes = [fp, fp, c_int, c_int, ip]
         lib.rt3_build_clusters_sah.restype = c_int
+        lib.rt3_split_fragments.argtypes = [fp, fp, fp, c_int, c_int, ip, fp, fp]
+        lib.rt3_split_fragments.restype = c_int
         _lib = lib
         return _lib
 
@@ -270,3 +272,28 @@ def build_clusters(
         n, leaf_size, out,
     )
     return out, int(cnt)
+
+
+def split_fragments(v0, v1, v2, budget: float = 1.3):
+    """SBVH-style spatial splits: dice the largest triangles into
+    axis-plane-clipped fragments (greedy on fragment-box surface area) up to
+    ``budget``×N fragments. Returns (frag_tri [M] int32 — original triangle
+    per fragment, frag_min/frag_max [M, 3] f32 — CLIPPED boxes), or None if
+    the lib is missing. Fragments keep the original triangle's vertices for
+    intersection, so hits (t/u/v/prim_id) are unchanged — only the
+    clustering boxes tighten."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(v0)
+    max_out = int(n * budget)
+    frag_tri = np.zeros(max_out, np.int32)
+    frag_min = np.zeros((max_out, 3), np.float32)
+    frag_max = np.zeros((max_out, 3), np.float32)
+    m = lib.rt3_split_fragments(
+        np.ascontiguousarray(v0, np.float32),
+        np.ascontiguousarray(v1, np.float32),
+        np.ascontiguousarray(v2, np.float32),
+        n, max_out, frag_tri, frag_min, frag_max,
+    )
+    return frag_tri[:m], frag_min[:m], frag_max[:m]

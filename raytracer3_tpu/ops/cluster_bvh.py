@@ -73,26 +73,45 @@ def _host_tree_depth(codes: np.ndarray) -> int:
 
 def _build_clusters(
     v0, v1, v2, leaf_size: int, use_sah: bool = True,
-    cluster_mode: str = "median",
+    cluster_mode: str = "median", split_budget: float = 0.0,
 ):
     """Group triangles into clusters of <= leaf_size via the native library
     when available (tighter boxes), else Morton blocks. cluster_mode picks
     median-bisection (balanced, full clusters) vs SAH-split placement
-    (tighter AABBs, underfull clusters) — see native.build_clusters."""
+    (tighter AABBs, underfull clusters) — see native.build_clusters.
+
+    split_budget > 0 enables SBVH-style spatial splits: up to
+    (1+budget)×T fragments with axis-clipped boxes are clustered instead of
+    whole triangles (native.split_fragments). A fragment's cluster row still
+    packs the ORIGINAL triangle, so hits are unchanged; a triangle hit may
+    just be found from any of the clusters carrying one of its fragments
+    (duplicates resolve through the closest-hit min)."""
     t = v0.shape[0]
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
+
+    # Primitive = fragment (spatial splits) or whole triangle.
+    prim_tri = None  # fragment -> original triangle; None = identity
+    prim_min, prim_max = tri_min, tri_max
+    if split_budget > 0:
+        from raytracer3_tpu import native
+
+        frags = native.split_fragments(v0, v1, v2, budget=1.0 + split_budget)
+        if frags is not None:
+            prim_tri, prim_min, prim_max = frags
+            prim_tri = prim_tri.astype(np.int64)
+    p_count = prim_min.shape[0]
 
     order_p = None
     if use_sah:
         from raytracer3_tpu import native
 
         res = native.build_clusters(
-            tri_min, tri_max, leaf_size, mode=cluster_mode
+            prim_min, prim_max, leaf_size, mode=cluster_mode
         )
         if res is not None:
             cluster_of, c = res
-            # Group triangle ids by cluster, pad each cluster to leaf_size.
+            # Group primitive ids by cluster, pad each cluster to leaf_size.
             order = np.argsort(cluster_of, kind="stable").astype(np.int64)
             sizes = np.bincount(cluster_of, minlength=c)
             order_p = np.full((c, leaf_size), -1, np.int64)
@@ -104,9 +123,9 @@ def _build_clusters(
             order_p = order_p.reshape(-1)
 
     if order_p is None:
-        centroid = (tri_min + tri_max) * 0.5
-        smin = tri_min.min(0)
-        ext = np.maximum(tri_max.max(0) - smin, 1e-9)
+        centroid = (prim_min + prim_max) * 0.5
+        smin = prim_min.min(0)
+        ext = np.maximum(prim_max.max(0) - smin, 1e-9)
         norm = (centroid - smin) / ext
         q = np.clip(norm * 1024.0, 0, 1023).astype(np.uint64)
 
@@ -124,15 +143,20 @@ def _build_clusters(
             | explode(q[:, 2])
         )
         order = np.argsort(codes, kind="stable").astype(np.int64)
-        c = (t + leaf_size - 1) // leaf_size
-        pad = c * leaf_size - t
+        c = (p_count + leaf_size - 1) // leaf_size
+        pad = c * leaf_size - p_count
         order_p = np.concatenate([order, np.full(pad, -1, np.int64)])
 
     c = len(order_p) // leaf_size
-    tri_id = order_p.reshape(c, leaf_size).astype(np.int32)
+    # Fragment slots resolve to their original triangle for packing/ids.
+    if prim_tri is not None:
+        tri_of = np.where(order_p >= 0, prim_tri[np.maximum(order_p, 0)], -1)
+    else:
+        tri_of = order_p
+    tri_id = tri_of.reshape(c, leaf_size).astype(np.int32)
 
     # Packed per-cluster triangle data (v0, e1, e2), degenerate for padding.
-    safe = np.maximum(order_p, 0)
+    safe = np.maximum(tri_of, 0)
     pv0 = v0[safe]
     pe1 = v1[safe] - pv0
     pe2 = v2[safe] - pv0
@@ -144,14 +168,17 @@ def _build_clusters(
     lanes = ((leaf_size * 9 + 127) // 128) * 128
     packed = np.pad(packed, ((0, 0), (0, lanes - leaf_size * 9)))
 
-    cmin = np.where(order_p[:, None] < 0, np.inf, tri_min[safe]).reshape(c, leaf_size, 3).min(1)
-    cmax = np.where(order_p[:, None] < 0, -np.inf, tri_max[safe]).reshape(c, leaf_size, 3).max(1)
+    # Cluster boxes come from the PRIMITIVE (fragment) boxes — with spatial
+    # splits these are the clipped boxes, i.e. the entire tightness win.
+    psafe = np.maximum(order_p, 0)
+    cmin = np.where(order_p[:, None] < 0, np.inf, prim_min[psafe]).reshape(c, leaf_size, 3).min(1)
+    cmax = np.where(order_p[:, None] < 0, -np.inf, prim_max[psafe]).reshape(c, leaf_size, 3).max(1)
     return packed.astype(np.float32), tri_id, cmin.astype(np.float32), cmax.astype(np.float32)
 
 
 def build_cluster_bvh_host(
     v0, v1, v2, leaf_size: int = 8, width: int = 8,
-    cluster_mode: str = "median",
+    cluster_mode: str = "median", split_budget: float = 0.0,
 ) -> ClusterBVH:
     """Host-side build: clusters → SAH/LBVH over cluster AABBs → wide
     collapse → packed tables, all numpy. Device↔host traffic is a single
@@ -162,7 +189,8 @@ def build_cluster_bvh_host(
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
     packed, tri_id, cmin, cmax = _build_clusters(
-        v0, v1, v2, leaf_size, cluster_mode=cluster_mode
+        v0, v1, v2, leaf_size, cluster_mode=cluster_mode,
+        split_budget=split_budget,
     )
     c = cmin.shape[0]
 

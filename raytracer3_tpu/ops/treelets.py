@@ -144,6 +144,7 @@ def build_treelets_host(
     partition: str = "sah",
     bw_leaf: bool = False,
     cluster_mode: str = "median",
+    split_budget: float = 0.0,
 ) -> TreeletTables:
     """Partition triangles into treelets and build each treelet's wide
     cluster BVH (host numpy end-to-end — device pulls through a tunneled TPU
@@ -169,7 +170,7 @@ def build_treelets_host(
     for idx in parts:
         cb = cb_mod.build_cluster_bvh_host(
             v0[idx], v1[idx], v2[idx], leaf_size, width=width,
-            cluster_mode=cluster_mode,
+            cluster_mode=cluster_mode, split_budget=split_budget,
         )
         pt = tk.pack_tables_host(cb, bw_leaf=bw_leaf)
         ct = np.array(pt.cluster_table)  # writable copy (tid remap below)
@@ -725,6 +726,7 @@ def treelet_backend(
     rank_push="bounce",
     partition: str = "sah",
     cluster_mode: str = "sah",
+    split_budget: float = 0.0,
     step_cull: bool = True,
     tables_hbm: bool = False,
     vmem_limit: int | None = 32_000_000,
@@ -790,6 +792,7 @@ def treelet_backend(
     tt = build_treelets_host(
         v0, v1, v2, leaf_size, width=width, max_tris=max_tris,
         partition=partition, bw_leaf=bw_leaf, cluster_mode=cluster_mode,
+        split_budget=split_budget,
     )
     # VMEM auto-fit: the segment kernel keeps 2× (node+cluster) table
     # blocks (revolving DMA window) + 2× the rays [8,S,128] / out [4,S,128]
@@ -822,6 +825,7 @@ def treelet_backend(
         tt = build_treelets_host(
             v0, v1, v2, leaf_size, width=width, max_tris=max_tris,
             partition=partition, bw_leaf=bw_leaf, cluster_mode=cluster_mode,
+            split_budget=split_budget,
         )
     meta = tt._replace(node_tables=None, cluster_tables=None, aabb=None)
     arrays = {

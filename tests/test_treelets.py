@@ -470,3 +470,45 @@ def test_sah_cluster_mode_matches_bruteforce():
         np.asarray(hit.prim_id), np.asarray(hb.prim_id)
     )
     np.testing.assert_allclose(np.asarray(hit.t), np.asarray(hb.t), atol=1e-5)
+
+
+def test_spatial_splits_match_bruteforce():
+    """split_budget > 0 dices the largest triangles into clipped fragments
+    (native rt3_split_fragments); clusters then carry duplicated originals
+    with tighter boxes. Hits must be identical to brute force — closest-hit
+    resolves duplicates through the min, any-hit through the OR."""
+    v0, v1, v2 = _soup(900, seed=9)
+    # Giant floor/wall triangles: the case spatial splits exist for.
+    big = np.array(
+        [
+            [[-30, -12, -30], [30, -12, -30], [0, -12, 30]],
+            [[-30, -12, -30], [-30, 12, -30], [-30, 0, 30]],
+        ],
+        np.float32,
+    )
+    v0 = np.concatenate([v0, big[:, 0]])
+    v1 = np.concatenate([v1, big[:, 1]])
+    v2 = np.concatenate([v2, big[:, 2]])
+    tt = treelets.build_treelets_host(
+        v0, v1, v2, leaf_size=4, width=8, max_tris=128,
+        cluster_mode="sah", split_budget=0.5,
+    )
+    o, d = _rays(8 * 128 * 2 + 11)
+    hit = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=8, half_leaf=True, bit_loop=True,
+        step_cull=True,
+    )
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit.prim_id), np.asarray(hb.prim_id)
+    )
+    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(hb.t), atol=1e-5)
+    occ = treelets.treelet_intersect(
+        tt, o, d, t_max=8.0, any_hit=True, interpret=True, sublanes=8
+    )
+    ob = intersect.occluded_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2), t_max=8.0
+    )
+    np.testing.assert_array_equal(np.asarray(occ.hit), np.asarray(ob))

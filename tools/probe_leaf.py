@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--cluster-mode", default="median",
                     help="median | sah (SAH-split clusters: 1.8x lower "
                          "cluster SA on the 300k atrium)")
+    ap.add_argument("--split-budget", type=float, default=0.0,
+                    help="SBVH spatial-split fragment budget (fraction of "
+                         "extra fragments, e.g. 0.3)")
     args = ap.parse_args()
     vmem_limit = int(args.vmem_limit) or None
 
@@ -100,7 +103,7 @@ def main():
         tt = treelets.build_treelets_host(
             host[0], host[1], host[2], leaf_size=ls,
             width=args.bvh_width, max_tris=args.max_tris, bw_leaf=args.bw,
-            cluster_mode=cmode,
+            cluster_mode=cmode, split_budget=args.split_budget,
         )
         tbytes = (tt.node_tables.nbytes + tt.cluster_tables.nbytes) / 1e6
         print(
