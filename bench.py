@@ -208,20 +208,22 @@ def main() -> None:
 
     big_scene, big_tris = sponza_world_scene(detail=8)
     cam720 = procedural.atrium_camera(aspect=1280 / 720)
-    # samples=8: ray density is a measured throughput lever (bounce 2.77 →
-    # 3.96, occl-mix 7.04 → 13.32 Mray/s from x1 → x8 at 2M-ray scale,
-    # tools/probe_r3.py --what density, 2026-08-18) — denser populations
-    # sort into purer packets and driver cost amortizes. One frame = 8 spp.
+    # samples=16: ray density is a measured throughput lever and keeps
+    # scaling past 8 under SAH clusters (bounce x8 5.55 -> x16 5.95, occl
+    # x8 16.47 -> x16 18.64 Mray/s; tools/probe_r3.py --what density,
+    # 2026-08-19) — denser populations sort into purer packets and driver
+    # cost amortizes. One frame = 16 spp.
     results.append(
         run_config(
-            "sponza720", big_scene, big_tris, cam720, 1280, 720, 2, samples=8
+            "sponza720", big_scene, big_tris, cam720, 1280, 720, 2,
+            samples=16,
         )
     )
     cam1080 = procedural.atrium_camera(aspect=1920 / 1088)
     results.append(
         run_config(
             "sponza1080", big_scene, big_tris, cam1080, 1920, 1088, 4,
-            samples=8,
+            samples=16,
         )
     )
 

@@ -80,14 +80,15 @@ def _ctz_pow2(b):
 
 
 def _bit_iter(words, body_fn, extra_init):
-    """Iterate body_fn(bit_index, extra) over the SET bits of up to two
-    scalar int32 mask words (bit_index counts across words: word w bit i →
-    32*w + i). The loop length equals the popcount — the point: per-pop
-    scalar cost proportional to ACTIVE groups instead of one lax.cond per
-    group (32 unconditional branches measured ~10-15% of bounce time, and
-    64 of them a 15% regression — docs/ROADMAP.md)."""
+    """Iterate body_fn(bit_index, extra) over the SET bits of N scalar int32
+    mask words (bit_index counts across words: word w bit i → 32*w + i).
+    The loop length equals the popcount — the point: per-pop scalar cost
+    proportional to ACTIVE groups instead of one lax.cond per group (32
+    unconditional branches measured ~10-15% of bounce time, and 64 of them
+    a 15% regression — docs/ROADMAP.md). Word selection is a first-nonzero
+    chain (~3 scalar ops per extra word per iteration)."""
     nw = len(words)
-    assert 1 <= nw <= 2, nw
+    assert nw >= 1, nw
 
     def cond(c):
         m = c[0]
@@ -103,13 +104,18 @@ def _bit_iter(words, body_fn, extra_init):
             g = _ctz_pow2(b)
             ws[0] = ws[0] & (ws[0] - 1)
         else:
-            use0 = ws[0] != 0
-            wsel = jnp.where(use0, ws[0], ws[1])
+            # First nonzero word wins (low to high).
+            wsel = ws[nw - 1]
+            base = jnp.int32(32 * (nw - 1))
+            for i in range(nw - 2, -1, -1):
+                nz = ws[i] != 0
+                wsel = jnp.where(nz, ws[i], wsel)
+                base = jnp.where(nz, jnp.int32(32 * i), base)
             b = wsel & -wsel
-            g = _ctz_pow2(b) + jnp.where(use0, jnp.int32(0), jnp.int32(32))
+            g = _ctz_pow2(b) + base
             cleared = wsel & (wsel - 1)
-            ws[0] = jnp.where(use0, cleared, ws[0])
-            ws[1] = jnp.where(use0, ws[1], cleared)
+            for i in range(nw):
+                ws[i] = jnp.where(base == jnp.int32(32 * i), cleared, ws[i])
         extra = body_fn(g, tuple(extra))
         return tuple(ws) + tuple(extra)
 
@@ -662,24 +668,22 @@ def _kernel(
                         if n_words == 1:
                             bw[0] = bw[0] | jnp.where(gfin, sh, 0)
                         else:
-                            in0 = g < 32
-                            bw[0] = bw[0] | jnp.where(gfin & in0, sh, 0)
-                            bw[1] = bw[1] | jnp.where(
-                                gfin & jnp.logical_not(in0), sh, 0
-                            )
+                            gw = jax.lax.shift_right_logical(g, 5)
+                            for w in range(n_words):
+                                bw[w] = bw[w] | jnp.where(
+                                    gfin & (gw == w), sh, 0
+                                )
                         for h in range(n_half):
                             b = n_half * g + h
                             shh = jnp.left_shift(jnp.int32(1), b & 31)
                             if hw_words == 1:
                                 hw[0] = hw[0] | jnp.where(hfin[h], shh, 0)
                             elif hw_words > 1:
-                                in0h = b < 32
-                                hw[0] = hw[0] | jnp.where(
-                                    hfin[h] & in0h, shh, 0
-                                )
-                                hw[1] = hw[1] | jnp.where(
-                                    hfin[h] & jnp.logical_not(in0h), shh, 0
-                                )
+                                bwd = jax.lax.shift_right_logical(b, 5)
+                                for w in range(hw_words):
+                                    hw[w] = hw[w] | jnp.where(
+                                        hfin[h] & (bwd == w), shh, 0
+                                    )
                         if n_half == 1:
                             hw = []
                         return (merged, *bw, *hw)

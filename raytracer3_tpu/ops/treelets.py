@@ -729,10 +729,11 @@ def treelet_backend(
     split_budget: float = 0.0,
     step_cull: bool = True,
     tables_hbm: bool = False,
-    vmem_limit: int | None = 32_000_000,
+    vmem_limit: int | None = 64_000_000,
     vmem_budget: float | None = None,
     bit_loop="auto",
-    max_groups: int = 64,
+    max_groups: int = 128,
+    sublanes_sorted: int | None = 1024,
     bw_leaf: bool = False,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
@@ -757,6 +758,14 @@ def treelet_backend(
       (2026-08-19 same-process A/B); presorted primaries keep the
       per-group lax.cond path (−6% under bit_loop: activations are dense,
       loop overhead beats the saved branches).
+    - sublanes_sorted 1024 (+ max_groups 128 → four mask words): the
+      sorted bounce/occlusion/capped paths run 1024-sublane segments with
+      8-row bit-loop groups — bounce +4-6%, occl flat (same-process A/B at
+      ×8 density, 2026-08-19); scalar costs amortize over 2× rays while
+      granularity stays at the 8-row VPU floor. Presorted primaries KEEP
+      512 sublanes: their dense activations make 32-row granularity
+      catastrophic (5.5 vs 34.9 Mray/s) and the cond path caps at 32
+      groups.
     - cluster_mode "sah": binned-SAH split placement for triangle clusters
       (native rt3_build_clusters_sah) — total cluster surface area 1.81×
       lower than the median bisection on the 300k atrium, so leaf pops
@@ -807,17 +816,29 @@ def treelet_backend(
     # predicted ~15.4 M) — count both copies or the fit check lies.
     min_rays_out = 2 * (8 + 4) * 128 * 128 * 4
     table_copies = 1 if tables_hbm else 2
+    # Without bit-loop pops the group cap is 32 lax.cond branches, so big
+    # segments would coarsen to 32-row groups (measured catastrophic) —
+    # only take sublanes_sorted when the sorted paths run bit_loop.
+    sl_sorted = (
+        (sublanes_sorted or sublanes)
+        if bit_loop in (True, "auto")
+        else sublanes
+    )
     while True:
         k = max(1, tt.num_treelets)
         tables = (
             table_copies
             * (tt.node_tables.nbytes + tt.cluster_tables.nbytes) / k
         )
-        rays_out = 2 * (8 + 4) * sublanes * 128 * 4
+        rays_out = 2 * (8 + 4) * max(sublanes, sl_sorted) * 128 * 4
         if tables + rays_out <= vmem_budget:
             break
+        if sl_sorted > sublanes:
+            sl_sorted = max(sublanes, sl_sorted // 2)
+            continue
         if sublanes > 128 and tables + min_rays_out <= vmem_budget:
             sublanes //= 2
+            sl_sorted = min(sl_sorted, sublanes)
             continue
         if max_tris <= 256:
             break  # give up: let Mosaic report the real limit
@@ -858,7 +879,7 @@ def treelet_backend(
 
     def isect_fn(arrays, o, d):
         return treelet_intersect(
-            _rebind(arrays), o, d, interpret=interpret, sublanes=sublanes,
+            _rebind(arrays), o, d, interpret=interpret, sublanes=sl_sorted,
             half_leaf=half_leaf, div_free=div_free, rank_push=rp_bounce,
             step_cull=step_cull, tables_hbm=tables_hbm, vmem_limit=vmem_limit,
             bit_loop=bl_sorted, max_groups=mg_sorted,
@@ -867,7 +888,7 @@ def treelet_backend(
     def occl_fn(arrays, o, d, tmax):
         return treelet_intersect(
             _rebind(arrays), o, d, t_max=tmax, any_hit=True,
-            interpret=interpret, sublanes=sublanes, sort_chunk=shadow_chunk,
+            interpret=interpret, sublanes=sl_sorted, sort_chunk=shadow_chunk,
             half_leaf=half_leaf, div_free=div_free, rank_push=rp_other,
             step_cull=step_cull, tables_hbm=tables_hbm, vmem_limit=vmem_limit,
             bit_loop=bl_sorted, max_groups=mg_sorted,
@@ -883,7 +904,7 @@ def treelet_backend(
         # RenderSettings.fuse_shadow.
         return treelet_intersect(
             _rebind(arrays), o, d, t_max=tmax, interpret=interpret,
-            sublanes=sublanes, half_leaf=half_leaf, div_free=div_free,
+            sublanes=sl_sorted, half_leaf=half_leaf, div_free=div_free,
             rank_push=rp_bounce, anyhit_mask=anyhit, step_cull=step_cull,
             tables_hbm=tables_hbm, vmem_limit=vmem_limit,
             bit_loop=bl_sorted, max_groups=mg_sorted,

@@ -512,3 +512,37 @@ def test_spatial_splits_match_bruteforce():
         o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2), t_max=8.0
     )
     np.testing.assert_array_equal(np.asarray(occ.hit), np.asarray(ob))
+
+
+def test_bit_loop_four_word_masks():
+    """128 groups of 8 rows (sublanes=1024 under bit_loop) → FOUR mask
+    words: exercises the generalized _bit_iter first-nonzero-word chain and
+    the per-word push-bit accumulation (both were hardwired to ≤2 words
+    until 2026-08-19). t gets a tolerance: one-in-100k fp association
+    deltas vs brute force (~2e-4 relative) with identical prim ids."""
+    v0, v1, v2 = _soup(3000, seed=7, spread=4.0, size=0.3)
+    tt = treelets.build_treelets_host(
+        v0, v1, v2, leaf_size=8, width=8, max_tris=1024, cluster_mode="sah"
+    )
+    o, d = _rays(1024 * 128, spread=5.0)
+    hit = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=1024, half_leaf=True,
+        bit_loop=True, max_groups=128,
+    )
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit.prim_id), np.asarray(hb.prim_id)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hit.t), np.asarray(hb.t), rtol=2e-4, atol=1e-5
+    )
+    occ = treelets.treelet_intersect(
+        tt, o, d, t_max=6.0, any_hit=True, interpret=True, sublanes=1024,
+        bit_loop=True, max_groups=128,
+    )
+    ob = intersect.occluded_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2), t_max=6.0
+    )
+    np.testing.assert_array_equal(np.asarray(occ.hit), np.asarray(ob))
