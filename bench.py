@@ -33,14 +33,15 @@ BASELINE_MRAYS_PER_CHIP = 1920 * 1088 * 5 * 30 / 8 / 1e6  # ~= 39.17
 
 
 def run_config(tag, scene, host_tris, cam, width, height, bounces,
-               n_frames=3, samples=1, fuse_shadow=False):
+               n_frames=3, samples=1, fuse_shadow=False, backend=None):
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
     from raytracer3_tpu.ops import rng as rng_mod
     from raytracer3_tpu.render import film as film_mod
     from raytracer3_tpu.render import wavefront
     from raytracer3_tpu.utils.config import RenderSettings
 
-    backend = tk.packet_backend(host_tris=host_tris)
+    if backend is None:
+        backend = tk.packet_backend(host_tris=host_tris)
     # samples > 1 batches all paths into ONE wavefront of samples*W*H lanes
     # (render/wavefront.py sample_batch): denser populations sort into purer
     # packets (+28% bounce Mray/s at 4x density) and per-launch driver cost
@@ -196,41 +197,44 @@ def main() -> None:
     runtime.init_compilation_cache()
 
     results = []
+
+    def add(r_):
+        results.append(r_)
+        print(json.dumps(r_), file=sys.stderr, flush=True)
+
     scene, tris = procedural.atrium_scene(detail=2, return_host=True)
     cam = procedural.atrium_camera(aspect=960 / 544)
-    results.append(run_config("headline", scene, tris, cam, 960, 544, 4))
-    results.append(
-        run_probe_config("probe_gi", scene, tris, cam, 960, 544)
-    )
-    results.append(
+    add(run_config("headline", scene, tris, cam, 960, 544, 4))
+    add(run_probe_config("probe_gi", scene, tris, cam, 960, 544))
+    add(
         run_probe_config("hybrid_gi", scene, tris, cam, 960, 544, hybrid=True)
     )
 
     big_scene, big_tris = sponza_world_scene(detail=8)
     cam720 = procedural.atrium_camera(aspect=1280 / 720)
-    # samples=16: ray density is a measured throughput lever and keeps
-    # scaling past 8 under SAH clusters (bounce x8 5.55 -> x16 5.95, occl
-    # x8 16.47 -> x16 18.64 Mray/s; tools/probe_r3.py --what density,
-    # 2026-08-19) — denser populations sort into purer packets and driver
-    # cost amortizes. One frame = 16 spp.
-    results.append(
+    # Ray density is a measured throughput lever and keeps scaling past 8
+    # under SAH clusters (bounce x8 5.55 -> x16 5.95, occl 16.47 -> 18.64
+    # Mray/s; tools/probe_r3.py --what density, 2026-08-19) — denser
+    # populations sort into purer packets and driver cost amortizes.
+    # sponza720 takes 16 spp/frame (14.7M lanes); sponza1080 stays at 8 —
+    # its 33.4M-lane frame OOMs HBM (28.7G of 15.75G: the full wavefront
+    # carries ~20 per-lane temporaries through the bounce scan).
+    add(
         run_config(
             "sponza720", big_scene, big_tris, cam720, 1280, 720, 2,
             samples=16,
         )
     )
     cam1080 = procedural.atrium_camera(aspect=1920 / 1088)
-    results.append(
+    add(
         run_config(
             "sponza1080", big_scene, big_tris, cam1080, 1920, 1088, 4,
-            samples=16,
+            samples=8,
         )
     )
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=1)
-    for r_ in results:
-        print(json.dumps(r_), file=sys.stderr)
 
     head = results[0]
     sponza = results[-1]

@@ -1520,6 +1520,7 @@ def packet_backend(
     sublanes: int = PACKET_SUBLANES, width: int = 16,
     host_tris=None, clusters_hbm: bool | None = None,
     treelet_sublanes: int = 512, cluster_mode: str = "sah",
+    force_treelets: bool = False,
 ):
     """Build a TraceBackend whose tables travel as jit arguments (see
     ops/backend.py for why closures over device tables are forbidden).
@@ -1536,7 +1537,10 @@ def packet_backend(
         v0, v1, v2 = scene.tri_vertices()
     row_len = ((9 * leaf_size + leaf_size + 6 + 127) // 128) * 128
     est_clusters = -(-v0.shape[0] // leaf_size) * 1.35  # SAH underfill slack
-    if clusters_hbm is None and est_clusters * row_len * 4 > CLUSTERS_VMEM_LIMIT:
+    if force_treelets or (
+        clusters_hbm is None
+        and est_clusters * row_len * 4 > CLUSTERS_VMEM_LIMIT
+    ):
         from raytracer3_tpu.ops import treelets
 
         # Treelet-path defaults (98k/leaf24, measured best — see
@@ -1557,13 +1561,21 @@ def packet_backend(
     meta = pt._replace(node_table=None, cluster_table=None)
     arrays = {"nodes": pt.node_table, "clusters": pt.cluster_table}
 
+    # Small-scene kernel flags (same-process sweep, 19k-tri atrium,
+    # tools/probe_packet_flags.py 2026-08-19): half_leaf +7-10% on
+    # bounce/occlusion, bit_loop +11% on tiled primaries, rank_push/BL64
+    # neutral — half_leaf + bit_loop go on everywhere. (The treelet backend
+    # was also tried for the small scene and LOSES: 5.37 vs 8.64 Mray/s
+    # headline — segment-grid driver overhead without the VMEM pressure
+    # that justifies it; sample batching doesn't help the small scene
+    # either, tools/probe_headline_treelet.py.)
     def isect_fn(arrays, o, d):
         pt2 = meta._replace(
             node_table=arrays["nodes"], cluster_table=arrays["clusters"]
         )
         return packet_intersect(
             pt2, o, d, interpret=interpret, sublanes=sublanes,
-            clusters_hbm=clusters_hbm,
+            clusters_hbm=clusters_hbm, half_leaf=True, bit_loop=True,
         )
 
     def occl_fn(arrays, o, d, tmax):
@@ -1572,7 +1584,8 @@ def packet_backend(
         )
         return packet_intersect(
             pt2, o, d, t_max=tmax, any_hit=True, interpret=interpret,
-            sublanes=sublanes, clusters_hbm=clusters_hbm,
+            sublanes=sublanes, clusters_hbm=clusters_hbm, half_leaf=True,
+            bit_loop=True,
         ).hit
 
     return TraceBackend(arrays, isect_fn, occl_fn, meta=pt)
