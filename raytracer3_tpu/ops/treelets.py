@@ -733,7 +733,7 @@ def treelet_backend(
     vmem_budget: float | None = None,
     bit_loop="auto",
     max_groups: int = 128,
-    sublanes_sorted: int | None = 1024,
+    sublanes_sorted: int | None = None,
     bw_leaf: bool = False,
 ):
     """TraceBackend over the treelet segment grid; tables travel as jit
@@ -816,11 +816,16 @@ def treelet_backend(
     # predicted ~15.4 M) — count both copies or the fit check lies.
     min_rays_out = 2 * (8 + 4) * 128 * 128 * 4
     table_copies = 1 if tables_hbm else 2
-    # Without bit-loop pops the group cap is 32 lax.cond branches, so big
-    # segments would coarsen to 32-row groups (measured catastrophic) —
-    # only take sublanes_sorted when the sorted paths run bit_loop.
+    # sublanes_sorted None = auto: production-size segments (sublanes >=
+    # 512) take 1024-sublane sorted segments; smaller explicit sublanes
+    # (tests, interpret-mode dryruns) keep the caller's size. Without
+    # bit-loop pops the group cap is 32 lax.cond branches, so big segments
+    # would coarsen to 32-row groups (measured catastrophic) — only take
+    # the bigger sorted segment when the sorted paths run bit_loop.
+    if sublanes_sorted is None:
+        sublanes_sorted = 1024 if sublanes >= 512 else sublanes
     sl_sorted = (
-        (sublanes_sorted or sublanes)
+        max(sublanes_sorted, sublanes)
         if bit_loop in (True, "auto")
         else sublanes
     )
