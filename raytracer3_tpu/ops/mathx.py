@@ -58,6 +58,96 @@ def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     )
 
 
+def map_row_gather(table, idx, fn, extras=(), max_chunk: int = 1 << 22):
+    """Consume ``table[idx]`` rows through ``fn`` in bounded chunks.
+
+    The third face of the TPU gather layout trap (tools/probe_gather2.py,
+    round 3): a 2-axis row gather ``table[idx]`` materializes its [N, C]
+    output lane-padded to 128 — ~8.4 GB of HBM temp at 16.7M lanes
+    REGARDLESS of C (C=3 u32 and C=16 f32 price identically), which is
+    what OOM'ed sponza1080. Per-channel 1-D gathers avoid the padding but
+    cost per CALL (4.4× slower). Gathers price by ROW COUNT, so chunking
+    the same row gather through ``lax.map`` keeps the call pattern and
+    total row count (≈ same speed) while capping the padded temp at
+    ``max_chunk × 512 B``.
+
+    ``fn(rows, *extra_chunks) -> pytree of [chunk]-leading arrays`` must
+    consume the rows INSIDE the chunk (so the padded buffer dies before
+    the next chunk). ``extras``: per-lane [N]-leading arrays chunked
+    alongside ``idx``. N must divide evenly by the chosen chunk count;
+    callers with ragged N should pad (wavefront lane counts are already
+    multiples of the segment size). Falls back to a single direct call
+    when N ≤ max_chunk."""
+    n = idx.shape[0]
+    if n <= max_chunk:
+        return fn(table[idx], *extras)
+    chunks = -(-n // max_chunk)
+    while n % chunks:
+        chunks += 1
+    c = n // chunks
+
+    # Everything crossing the lax.map boundary must be 2-D [chunks, c]:
+    # a [chunks, c, 3] carry materializes T(8,128) with the 3-lane minor
+    # padded to 128 — a 42.7× HBM expansion, ×4 under remat (measured
+    # 31.9 G at 16.7M lanes). Split trailing dims into per-column 1-D
+    # arrays around the map and re-stack inside/outside the chunk.
+    def _split(a):
+        if a.ndim == 1:
+            return [a.reshape(chunks, c)]
+        return [
+            a[..., j].reshape(chunks, c) for j in range(a.shape[-1])
+        ]
+
+    ex_cols = [(_split(e), e.ndim) for e in extras]
+
+    def body(args):
+        i = args[0]
+        rest = args[1:]
+        ex = []
+        pos = 0
+        for cols, nd in ex_cols:
+            k = len(cols)
+            if nd == 1:
+                ex.append(rest[pos])
+            else:
+                ex.append(jnp.stack(rest[pos:pos + k], axis=-1))
+            pos += k
+        out = fn(table[i], *ex)
+        # Split ≥2-D outputs into 1-D columns for the same layout reason.
+        leaves, treedef = jax.tree.flatten(out)
+        flat = []
+        meta = []
+        for a in leaves:
+            if a.ndim == 1:
+                flat.append(a)
+                meta.append(1)
+            else:
+                flat.extend(a[..., j] for j in range(a.shape[-1]))
+                meta.append(a.shape[-1])
+        body.meta = (treedef, meta)  # static across traces
+        return tuple(flat)
+
+    flat_in = (idx.reshape(chunks, c),) + tuple(
+        col for cols, _ in ex_cols for col in cols
+    )
+    flat_out = jax.lax.map(body, flat_in)
+    treedef, meta = body.meta
+    leaves = []
+    pos = 0
+    for k in meta:
+        if k == 1:
+            leaves.append(flat_out[pos].reshape(n))
+        else:
+            leaves.append(
+                jnp.stack(
+                    [flat_out[pos + j].reshape(n) for j in range(k)],
+                    axis=-1,
+                )
+            )
+        pos += k
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def saturate(x: jax.Array) -> jax.Array:
     return jnp.clip(x, 0.0, 1.0)
 

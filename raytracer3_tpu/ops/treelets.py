@@ -472,13 +472,33 @@ def treelet_intersect(
             cperm = jnp.argsort(kc)
             off = jnp.arange(g, dtype=cperm.dtype)[None, :]
             order = (cperm[:, None] * g + off).reshape(-1)
+            cols = [o, d, cap[:, None]] + ([] if ah is None else [ah[:, None]])
+            packed = jnp.concatenate(cols, axis=1)[order]
+            o, d, cap = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+            if ah is not None:
+                ah = packed[:, 7]
         else:
-            order = jnp.argsort(key)
-        cols = [o, d, cap[:, None]] + ([] if ah is None else [ah[:, None]])
-        packed = jnp.concatenate(cols, axis=1)[order]
-        o, d, cap = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
-        if ah is not None:
-            ah = packed[:, 7]
+            # Variadic sort: move the ray payload THROUGH lax.sort instead
+            # of argsort + [N,7] pack gather — the sort's sequential passes
+            # beat the row-count-bound random gather ~2× at 16.7M lanes
+            # (173 vs 334 ms, tools/probe_driver.py), and the co-sorted
+            # iota is the un-sort key for the result pass below. (key,
+            # iota) as a two-operand key keeps ties deterministic like the
+            # stable argsort this replaces.
+            ops = (
+                key,
+                jnp.arange(n_pad, dtype=jnp.int32),
+                o[:, 0], o[:, 1], o[:, 2],
+                d[:, 0], d[:, 1], d[:, 2],
+                cap,
+            ) + (() if ah is None else (ah,))
+            sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=2)
+            order = sorted_ops[1]
+            o = jnp.stack(sorted_ops[2:5], axis=-1)
+            d = jnp.stack(sorted_ops[5:8], axis=-1)
+            cap = sorted_ops[8]
+            if ah is not None:
+                ah = sorted_ops[9]
         # Segment metadata needs per-SORTED-ray slabs: RECOMPUTE densely on
         # the sorted rays (≈1 ms of VPU) instead of gathering the [N, K]
         # tn/want matrices through the permutation — XLA's per-lane gathers
@@ -508,9 +528,16 @@ def treelet_intersect(
             g = sort_chunk
             off = jnp.arange(g, dtype=cperm.dtype)[None, :]
             inv = (jnp.argsort(cperm)[:, None] * g + off).reshape(-1)
+            out = out[:, inv]
         else:
-            inv = jnp.argsort(order)
-        out = out[:, inv]
+            # Un-sort through a second variadic sort keyed by the carried
+            # iota (a permutation — exact original positions): ~170 ms at
+            # 16.7M vs 294 ms for inverse-argsort + [4,N] gather.
+            rows = tuple(out[i] for i in range(out.shape[0]))
+            restored = jax.lax.sort(
+                (order,) + rows, dimension=0, num_keys=1
+            )
+            out = jnp.stack(restored[1:], axis=0)
     out = out[:, :n]
     prim_id = out[3].astype(jnp.int32)
     found = prim_id >= 0

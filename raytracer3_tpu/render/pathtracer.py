@@ -118,33 +118,42 @@ def _sample_env_light(scene: scene_types.Scene, u3: jax.Array):
     n_tex = tab.shape[0]
     he, we = scene.env_rgbp.shape[0], scene.env_rgbp.shape[1]
     k = jnp.clip((u3[:, 0] * n_tex).astype(jnp.int32), 0, n_tex - 1)
-    row = tab[k]  # [N, 16] — the single gather
-    take_alias = (u3[:, 1] >= row[:, 0])[:, None]
-    idx = jnp.where(
-        take_alias[:, 0], row[:, 1].astype(jnp.int32), k
-    )
-    pdf = jnp.where(take_alias[:, 0], row[:, 6], row[:, 2])
-    radiance = jnp.where(take_alias, row[:, 7:10], row[:, 3:6])
-    y = idx // we
-    x = idx % we
-    # Jitter within the texel for a continuous direction (the pdf is the
-    # texel's constant solid-angle pdf). jv reuses the alias-test uniform,
-    # rescaled to its conditional range (uniform again by construction —
-    # deriving it from u3[:, 0] would correlate it with the texel choice).
-    ju = u3[:, 2]
-    prob = row[:, 0]
-    jv = jnp.where(
-        take_alias[:, 0],
-        (u3[:, 1] - prob) / jnp.maximum(1.0 - prob, 1e-9),
-        u3[:, 1] / jnp.maximum(prob, 1e-9),
-    )
-    jv = jnp.clip(jv, 0.0, 0.999999)
-    uv = jnp.stack(
-        [(x.astype(jnp.float32) + ju) / we, (y.astype(jnp.float32) + jv) / he],
-        axis=-1,
-    )
-    d = mathx.equirect_uv_to_direction(uv)
-    return d, radiance, pdf
+
+    def consume(row, kc, u3c):
+        # The whole row consumer runs inside the (possibly chunked) gather
+        # so the lane-padded [chunk, 16] buffer dies before the next chunk
+        # (mathx.map_row_gather — the 7.97 GB sponza1080 allocation).
+        take_alias = (u3c[:, 1] >= row[:, 0])[:, None]
+        idx = jnp.where(
+            take_alias[:, 0], row[:, 1].astype(jnp.int32), kc
+        )
+        pdf = jnp.where(take_alias[:, 0], row[:, 6], row[:, 2])
+        radiance = jnp.where(take_alias, row[:, 7:10], row[:, 3:6])
+        y = idx // we
+        x = idx % we
+        # Jitter within the texel for a continuous direction (the pdf is
+        # the texel's constant solid-angle pdf). jv reuses the alias-test
+        # uniform, rescaled to its conditional range (uniform again by
+        # construction — deriving it from u3[:, 0] would correlate it with
+        # the texel choice).
+        ju = u3c[:, 2]
+        prob = row[:, 0]
+        jv = jnp.where(
+            take_alias[:, 0],
+            (u3c[:, 1] - prob) / jnp.maximum(1.0 - prob, 1e-9),
+            u3c[:, 1] / jnp.maximum(prob, 1e-9),
+        )
+        jv = jnp.clip(jv, 0.0, 0.999999)
+        uv = jnp.stack(
+            [
+                (x.astype(jnp.float32) + ju) / we,
+                (y.astype(jnp.float32) + jv) / he,
+            ],
+            axis=-1,
+        )
+        return mathx.equirect_uv_to_direction(uv), radiance, pdf
+
+    return mathx.map_row_gather(tab, k, consume, extras=(k, u3))
 
 
 def _face_forward(normal: jax.Array, wo_world: jax.Array) -> jax.Array:
@@ -307,13 +316,18 @@ def _nee_prepare(
         li = jnp.searchsorted(em.cdf, u3[:, 0:1]).reshape(-1)
         li = jnp.clip(li, 0, em.tri_ids.shape[0] - 1)
         if em.light_table is not None:
-            # Single-gather light fetch (see EmissiveTable.light_table).
-            row = em.light_table[li]  # [N, 16]
-            v0 = row[:, 0:3]
-            e1 = row[:, 3:6]
-            e2 = row[:, 6:9]
-            le = row[:, 9:12]
-            valid_light = row[:, 12] > 0.5
+            # Single-gather light fetch (see EmissiveTable.light_table),
+            # chunked so the lane-padded [chunk, 16] buffer stays bounded
+            # (mathx.map_row_gather — this gather held 7.97 GB at 16.7M
+            # lanes when XLA picked the row-major T(8,128) layout).
+            v0, e1, e2, le, valid_light = mathx.map_row_gather(
+                em.light_table,
+                li,
+                lambda row: (
+                    row[:, 0:3], row[:, 3:6], row[:, 6:9], row[:, 9:12],
+                    row[:, 12] > 0.5,
+                ),
+            )
             v1 = v0 + e1
             v2 = v0 + e2
         else:

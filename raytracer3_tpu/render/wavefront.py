@@ -143,6 +143,7 @@ def trace_wavefront(
     sort_rays: bool = False,
     rr_start: int = 3,
     fused_fn=None,
+    tail_anyhit: bool = True,
 ) -> RayQueue:
     """Run the bounce loop on an initialized wavefront whose first hit is
     already recorded in (depth, prim_id, uv, alive). Returns the final queue
@@ -157,7 +158,16 @@ def trace_wavefront(
     lanes carry cap = light distance and read Hit.hit as the occlusion bit
     (nearest-vs-any is irrelevant for a boolean); the trade is losing the
     any-hit resolved-segment early-skip. Radiance is bit-compatible with the
-    split path (same sampler draws, same occlusion booleans)."""
+    split path (same sampler draws, same occlusion booleans).
+
+    tail_anyhit: the LAST bounce's closest-hit launch only feeds the
+    escape/env test (its hit surface is never shaded — the loop ends), so
+    an any-hit traversal answers it ~3× cheaper (sponza bounce 3.0 s vs
+    occl 1.0 s per 16.7M-lane launch); the final NEE shadow batch rides the
+    same launch (both are pure any-hit), halving the tail's sort-driver
+    cost (~0.55 s per sorted launch at 16.7M lanes, tools/probe_driver.py).
+    Radiance is bit-compatible: the occlusion boolean equals the
+    closest-hit's hit bit exactly, and the accumulation order is unchanged."""
     q_env = pathtracer._env_mix_q(scene)
     use_nee = occluded_fn is not None and (
         int(scene.emissive.tri_ids.shape[0]) > 0 or q_env > 0.0
@@ -167,9 +177,12 @@ def trace_wavefront(
         jnp.min(scene.positions, axis=0), jnp.max(scene.positions, axis=0)
     )
 
-    def bounce(carry, b):
+    def bounce(carry, b, last=False):
         q, sampler = carry
         n_shadow = jnp.int32(0)  # measured below (pre_ok lanes only)
+        # Tail bounce: the traced hit only feeds the escape/env test, so
+        # any-hit traversal replaces closest-hit (see docstring).
+        tail_any = last and tail_anyhit and occluded_fn is not None
 
         fp_log2 = None
         if scene.tex_atlas is not None:
@@ -209,11 +222,22 @@ def trace_wavefront(
         onb = mathx.build_orthonormal_basis(nrm)
         hit_pos = q.origin + q.depth[:, None] * q.direction
 
-        fuse = fused_fn is not None and use_nee
+        fuse = fused_fn is not None and use_nee and not tail_any
         shadow = None
         if use_nee:
             u_l, sampler = sampler.next3()
-            if fuse:
+            if tail_any:
+                # Defer the shadow traversal: it rides the tail any-hit
+                # launch below (same sampler draws as the split path).
+                sh_o, sh_d, sh_t, pre_ok, contrib, sampler = (
+                    pathtracer._nee_prepare(
+                        scene, hit_pos, nrm, -q.direction, surface, u_l,
+                        sampler, settings, alive_mask=q.alive,
+                    )
+                )
+                shadow = (sh_o, sh_d, sh_t, pre_ok, contrib)
+                n_shadow = jnp.sum(pre_ok.astype(jnp.int32))
+            elif fuse:
                 # Defer the shadow traversal: it rides the next-bounce launch
                 # below (same sampler draws as the split path).
                 sh_o, sh_d, sh_t, pre_ok, contrib, sampler = (
@@ -268,7 +292,35 @@ def trace_wavefront(
         # sorting, fully-dead packets cost one traversal iteration.
         alive_at_trace = alive
         park = jnp.where(alive[:, None], hit_pos, 1e30)
-        if fuse:
+        if tail_any:
+            # ONE any-hit launch: [final NEE shadow batch ; escape probes].
+            # The escape half caps at BG — "any hit at all" is exactly the
+            # closest-hit's hit bit, which is all the env pickup needs.
+            m = park.shape[0]
+            bg = jnp.full((m,), mathx.BACKGROUND_DEPTH, jnp.float32)
+            if use_nee:
+                sh_o, sh_d, sh_t, pre_ok, contrib = shadow
+                o2 = jnp.concatenate([sh_o, park], axis=0)
+                d2 = jnp.concatenate([sh_d, new_dir], axis=0)
+                cap2 = jnp.concatenate([sh_t, bg])
+                blocked2 = occluded_fn(o2, d2, cap2)
+                ok = pre_ok & ~blocked2[:m]
+                radiance = radiance + jnp.where(
+                    (q.alive & ok)[:, None], q.throughput * contrib, 0.0
+                )
+                hit_bit = blocked2[m:]
+            else:
+                hit_bit = occluded_fn(park, new_dir, bg)
+            h = intersect.Hit(
+                t=bg,
+                uv=jnp.zeros((m, 2), jnp.float32),
+                prim_id=jnp.where(hit_bit, 0, -1).astype(jnp.int32),
+                hit=hit_bit,
+                inst=(
+                    jnp.zeros((m,), jnp.int32) if q.inst is not None else None
+                ),
+            )
+        elif fuse:
             # ONE launch: [shadow batch ; bounce rays]. Shadow lanes cap at
             # the light distance (Hit.hit == occluded), bounce lanes at BG.
             sh_o, sh_d, sh_t, pre_ok, contrib = shadow
@@ -327,10 +379,18 @@ def trace_wavefront(
         n_closest = jnp.sum(alive_at_trace.astype(jnp.int32))
         return (q, sampler), n_closest + n_shadow
 
-    (q, _), traced = jax.lax.scan(
-        bounce, (q, sampler), jnp.arange(settings.bounces), unroll=1
-    )
-    return q, jnp.sum(traced)
+    nb = int(settings.bounces)
+    if nb > 1:
+        (q, sampler), traced = jax.lax.scan(
+            bounce, (q, sampler), jnp.arange(nb - 1), unroll=1
+        )
+        traced = jnp.sum(traced)
+    else:
+        traced = jnp.int32(0)
+    # Last bounce unrolled: its traced hit is only consumed by the
+    # escape/env test, so it can run as an any-hit launch (tail_anyhit).
+    (q, _), traced_tail = bounce((q, sampler), jnp.int32(nb - 1), last=True)
+    return q, traced + traced_tail
 
 
 TILE_W, TILE_H = 128, 64  # traversal-packet screen tiles (one 8192-ray packet)
@@ -375,6 +435,7 @@ def render_frame(
     primary_fn: Optional[pathtracer.IntersectFn] = None,
     return_gbuffer: bool = False,
     fused_fn=None,
+    tail_anyhit: bool = True,
 ) -> jax.Array:
     """One frame: primary rays → wavefront bounce loop → scatter to film
     [H, W, 3] raw radiance. Samples loop on the outside (decorrelated).
@@ -438,7 +499,7 @@ def render_frame(
         )
         q, traced = trace_wavefront(
             scene, intersect_fn, q, sampler, settings, occluded_fn, sort_rays,
-            fused_fn=fused_fn,
+            fused_fn=fused_fn, tail_anyhit=tail_anyhit,
         )
         radiance = q.radiance
         if settings.radiance_clamp > 0.0:

@@ -228,11 +228,22 @@ def hit_surface_info(
     """
     pid = jnp.clip(prim_id, 0, scene.num_triangles - 1)
     if scene.shade_table is not None and scene.mat_table is not None:
-        row = scene.shade_table[pid]  # [N, 16] — the single gather
-        w0 = (1.0 - uv[:, 0] - uv[:, 1])[:, None]
-        w1 = uv[:, 0:1]
-        w2 = uv[:, 1:2]
-        normal = row[:, 0:3] * w0 + row[:, 3:6] * w1 + row[:, 6:9] * w2
+        # ONE [N, 16] row gather, interpolated inside bounded chunks so the
+        # lane-padded [chunk, 128] buffer never exceeds ~1 GB at any lane
+        # count (mathx.map_row_gather; 2-axis gathers pad 16 → 128 lanes).
+        def _shade(row, uvc):
+            w0 = (1.0 - uvc[:, 0] - uvc[:, 1])[:, None]
+            w1 = uvc[:, 0:1]
+            w2 = uvc[:, 1:2]
+            nrm = row[:, 0:3] * w0 + row[:, 3:6] * w1 + row[:, 6:9] * w2
+            tuv = (
+                row[:, 9:11] * w0 + row[:, 11:13] * w1 + row[:, 13:15] * w2
+            )
+            return nrm, tuv, row[:, 15].astype(jnp.int32)
+
+        normal, tex_uv, g = mathx.map_row_gather(
+            scene.shade_table, pid, _shade, extras=(uv,)
+        )
         if inst is not None and scene.inst_normal_mats is not None:
             # Object→world normal rotation per hit instance (TLAS scenes).
             nm = _onehot_rows(
@@ -247,8 +258,6 @@ def hit_surface_info(
                 axis=-1,
             )
         normal = mathx.normalize(normal)
-        tex_uv = row[:, 9:11] * w0 + row[:, 11:13] * w1 + row[:, 13:15] * w2
-        g = row[:, 15].astype(jnp.int32)
         mat = _onehot_rows(scene.mat_table, g)  # [N, 12]
         if inst is not None and scene.inst_mat_table is not None:
             # Per-instance override row (lane 11 gates; misses are masked by

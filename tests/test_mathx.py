@@ -149,3 +149,35 @@ class TestMisc:
         n = jnp.array([0.0, 1.0, 0.0])
         r = mathx.reflect(v, n)
         np.testing.assert_allclose(r, jnp.array([1.0, 1.0, 0.0]) / np.sqrt(2), atol=1e-6)
+
+
+class TestMapRowGather:
+    def test_chunked_matches_direct(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        tab = jnp.asarray(rng.standard_normal((64, 16), dtype=np.float32))
+        idx = jnp.asarray(rng.integers(0, 64, 4096).astype(np.int32))
+        u = jnp.asarray(rng.random((4096, 3), dtype=np.float32))
+
+        def fn(rows, uc):
+            a = rows[:, 0] * uc[:, 0]
+            b = jnp.where((uc[:, 1] > 0.5)[:, None], rows[:, 3:6], rows[:, 7:10])
+            return a, b
+
+        direct = fn(tab[idx], u)
+        chunked = mathx.map_row_gather(tab, idx, fn, extras=(u,), max_chunk=512)
+        for d, c in zip(direct, chunked):
+            np.testing.assert_array_equal(np.asarray(d), np.asarray(c))
+
+    def test_ragged_n_picks_divisor(self):
+        import numpy as np
+
+        tab = jnp.asarray(np.arange(40, dtype=np.float32).reshape(10, 4))
+        idx = jnp.asarray((np.arange(4100) % 10).astype(np.int32))
+        out = mathx.map_row_gather(
+            tab, idx, lambda r: r[:, 1] + 1.0, max_chunk=1000
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(tab[idx][:, 1] + 1.0)
+        )

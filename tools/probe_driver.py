@@ -88,6 +88,28 @@ def main():
     t = timeit(full_scatter, key, cols, out4)
     print(f"  full driver (scatter inv): {t:7.1f} ms", flush=True)
 
+    # Variadic sort: move the payload THROUGH lax.sort (sequential-access
+    # sorting-network passes) instead of argsort + random row gather.
+    def vsort(k, c):
+        ops = (k,) + tuple(c[:, i] for i in range(c.shape[1]))
+        out = jax.lax.sort(ops, dimension=0, num_keys=1)
+        return sum(o.sum() for o in out[1:])
+
+    t = timeit(vsort, key, cols)
+    print(f"  variadic sort key+7pay  : {t:8.1f} ms", flush=True)
+
+    # And the iota ride-along that replaces the separate inverse argsort:
+    # sort (key, iota, payload) in ONE call, derive inv from the carried
+    # iota by scatter (or use it for the unsort gather).
+    def vsort_iota(k, c):
+        iota = jnp.arange(k.shape[0], dtype=jnp.int32)
+        ops = (k, iota) + tuple(c[:, i] for i in range(c.shape[1]))
+        out = jax.lax.sort(ops, dimension=0, num_keys=1)
+        return sum(o.sum() for o in out[1:])
+
+    t = timeit(vsort_iota, key, cols)
+    print(f"  variadic sort +iota     : {t:8.1f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
