@@ -180,6 +180,42 @@ class TestHalfLeaf:
         )
         np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
 
+    def test_bit_loop_matches_cond_path_packet(self):
+        # The packet backend runs half_leaf + bit_loop in production
+        # (packet_backend isect/occl); the bit-iterated pops must be
+        # bit-identical to the lax.cond path, closest-hit AND any-hit.
+        rng = np.random.default_rng(1)
+        n_tri = 96
+        c = rng.uniform(-3, 3, (n_tri, 3)).astype(np.float32)
+        v0 = c
+        v1 = c + rng.normal(0, 0.5, (n_tri, 3)).astype(np.float32)
+        v2 = c + rng.normal(0, 0.5, (n_tri, 3)).astype(np.float32)
+        pt = _tables(v0, v1, v2)
+        n = 16 * 128
+        o = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        a = tk.packet_intersect(
+            pt, o, d, interpret=True, sublanes=16,
+            half_leaf=True, bit_loop=True,
+        )
+        b = tk.packet_intersect(pt, o, d, interpret=True, sublanes=16)
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        np.testing.assert_array_equal(
+            np.asarray(a.prim_id), np.asarray(b.prim_id)
+        )
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+        cap = jnp.full((n,), 1e4, jnp.float32)
+        ah_a = tk.packet_intersect(
+            pt, o, d, t_max=cap, any_hit=True, interpret=True, sublanes=16,
+            half_leaf=True, bit_loop=True,
+        ).hit
+        ah_b = tk.packet_intersect(
+            pt, o, d, t_max=cap, any_hit=True, interpret=True, sublanes=16
+        ).hit
+        np.testing.assert_array_equal(np.asarray(ah_a), np.asarray(ah_b))
+
 
 class TestHbmClusters:
     def test_hbm_mode_matches_vmem(self, cornell):
