@@ -256,6 +256,92 @@ def _morton6(pos, lo, hi):
     return m
 
 
+def _chunk_count(s_count: int, cap: int = 16) -> int:
+    """Largest divisor of s_count that is <= cap (lax.map needs equal
+    chunks; s_count is static so this runs at trace time)."""
+    for c in range(min(cap, s_count), 0, -1):
+        if s_count % c == 0:
+            return c
+    return 1
+
+
+def _seg_reduce_chunked(aabb, o, d, cap, *, t_min, p, groups, rows_per_group):
+    """Segment-granular slab reductions WITHOUT materializing [N, K]:
+    (seg_tn [S,K], seg_any [S,K], gact [S,G,K]) computed per segment chunk
+    under lax.map. The dense [N, K] tn/want matrices cost ~2 GB apiece in
+    padded T(8,128) layout at a 66.8M-lane fused-tail launch (measured: the
+    sponza1080@16spp compile OOM'd HBM by 298 MB with ~7 GB of slab temps,
+    2026-08-19) while every consumer is a per-segment min/any — so reduce
+    inside the chunk and never keep more than chunk_segs segments of slabs
+    live."""
+    k = aabb.shape[0]
+    n_pad = o.shape[0]
+    s_count = n_pad // p
+    cs = _chunk_count(s_count)
+    nc = s_count // cs
+
+    def one(chunk):
+        oc, dc, cc = chunk  # [cs*p, 3] / [cs*p, 3] / [cs*p]
+        inv = 1.0 / jnp.where(jnp.abs(dc) < 1e-12, 1e-12, dc)
+        tn, want = _treelet_slabs(aabb, oc, inv, t_min, cc)
+        tn_m = jnp.where(want, tn, jnp.inf).reshape(cs, p, k)
+        w = want.reshape(cs, p, k)
+        return (
+            jnp.min(tn_m, axis=1),
+            jnp.any(w, axis=1),
+            jnp.any(w.reshape(cs, groups, rows_per_group * 128, k), axis=2),
+        )
+
+    seg_tn, seg_any, gact = jax.lax.map(
+        one,
+        (
+            o.reshape(nc, cs * p, 3),
+            d.reshape(nc, cs * p, 3),
+            cap.reshape(nc, cs * p),
+        ),
+    )
+    return (
+        seg_tn.reshape(s_count, k),
+        seg_any.reshape(s_count, k),
+        gact.reshape(s_count, groups, k),
+    )
+
+
+def _near_tid_chunked(aabb, o, d, cap, *, t_min, p):
+    """Per-ray (nearest-candidate entry t, treelet id) for the sort key,
+    chunked like _seg_reduce_chunked (the [N, K] slab matrix never
+    materializes; K-way argmin happens inside the chunk)."""
+    k = aabb.shape[0]
+    n_pad = o.shape[0]
+    s_count = max(1, n_pad // p)
+    cs = _chunk_count(s_count)
+    nc = s_count // cs
+    rows = n_pad // nc
+
+    def one(chunk):
+        oc, dc, cc = chunk
+        inv = 1.0 / jnp.where(jnp.abs(dc) < 1e-12, 1e-12, dc)
+        tn, want = _treelet_slabs(aabb, oc, inv, t_min, cc)
+        tn_m = jnp.where(want, tn, jnp.inf)
+        near = jnp.min(tn_m, axis=1)
+        tid = jnp.where(
+            jnp.isfinite(near),
+            jnp.argmin(tn_m, axis=1).astype(jnp.int32),
+            k,
+        )
+        return near, tid
+
+    near, tid = jax.lax.map(
+        one,
+        (
+            o.reshape(nc, rows, 3),
+            d.reshape(nc, rows, 3),
+            cap.reshape(nc, rows),
+        ),
+    )
+    return near.reshape(n_pad), tid.reshape(n_pad)
+
+
 def _run_segments(
     tt: TreeletTables,
     o: jax.Array,  # [Np, 3] rays already segment-ordered + padded
@@ -264,6 +350,8 @@ def _run_segments(
     want_s: jax.Array,  # [Np, K] bool — which treelets each ray wants
     tn_s: jax.Array,  # [Np, K] entry t (inf where not wanted)
     *,
+    seg_meta=None,  # optional (seg_tn, seg_any, gact) — skips the dense
+    # [N, K] reductions (want_s/tn_s may then be None)
     t_min: float,
     any_hit: bool,
     interpret: bool,
@@ -294,8 +382,16 @@ def _run_segments(
     rows_per_group = sublanes // groups
     n_words = (groups + 31) // 32  # must match _kernel's word split
 
-    seg_tn = jnp.min(tn_s.reshape(s_count, p, k), axis=1)  # [S, K]
-    seg_any = jnp.any(want_s.reshape(s_count, p, k), axis=1)
+    if seg_meta is not None:
+        seg_tn, seg_any, gact = seg_meta
+    else:
+        seg_tn = jnp.min(tn_s.reshape(s_count, p, k), axis=1)  # [S, K]
+        seg_any = jnp.any(want_s.reshape(s_count, p, k), axis=1)
+        # Group g of segment s is active for treelet t iff any of its
+        # rows×128 rays wants t.
+        gact = jnp.any(
+            want_s.reshape(s_count, groups, rows_per_group * 128, k), axis=2
+        )  # [S, G, K]
     seg_key = jnp.where(seg_any, seg_tn, jnp.inf)
     seg_order = jnp.argsort(seg_key, axis=1).astype(jnp.int32)  # [S, K]
     seg_valid = jnp.take_along_axis(
@@ -318,10 +414,6 @@ def _run_segments(
         1e30,  # sentinel slots are killed by gmask 0; keep SMEM finite
     ).astype(jnp.float32)
 
-    # Group g of segment s is active for treelet t iff any of its rows×128
-    # rays wants t.
-    gw = want_s.reshape(s_count, groups, rows_per_group * 128, k)
-    gact = jnp.any(gw, axis=2)  # [S, G, K]
     words = []
     for wd in range(n_words):
         lo, hi = 32 * wd, min(32 * (wd + 1), groups)
@@ -444,15 +536,8 @@ def treelet_intersect(
 
     if presorted or k == 1:
         order = None
-        tn, want = _treelet_slabs(tt.aabb, o, inv_d, t_min, cap)
-        tn_s = jnp.where(want, tn, jnp.inf)
-        want_s = want
     else:
-        tn, want = _treelet_slabs(tt.aabb, o, inv_d, t_min, cap)
-        tn_m = jnp.where(want, tn, jnp.inf)
-        near = jnp.min(tn_m, axis=1)
-        tid0 = jnp.argmin(tn_m, axis=1).astype(jnp.int32)
-        tid0 = jnp.where(jnp.isfinite(near), tid0, k)
+        near, tid0 = _near_tid_chunked(tt.aabb, o, d, cap, t_min=t_min, p=p)
         octant = (
             (d[:, 0] >= 0).astype(jnp.int32)
             + 2 * (d[:, 1] >= 0).astype(jnp.int32)
@@ -499,16 +584,21 @@ def treelet_intersect(
             cap = sorted_ops[8]
             if ah is not None:
                 ah = sorted_ops[9]
-        # Segment metadata needs per-SORTED-ray slabs: RECOMPUTE densely on
-        # the sorted rays (≈1 ms of VPU) instead of gathering the [N, K]
-        # tn/want matrices through the permutation — XLA's per-lane gathers
-        # made those two pulls the bulk of a measured 46 ms driver overhead.
-        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
-        tn2, want_s = _treelet_slabs(tt.aabb, o, inv_d, t_min, cap)
-        tn_s = jnp.where(want_s, tn2, jnp.inf)
+    # Segment metadata needs per-SORTED-ray slabs: RECOMPUTE on the sorted
+    # rays (≈1 ms of VPU) instead of gathering the [N, K] tn/want matrices
+    # through the permutation — XLA's per-lane gathers made those two pulls
+    # the bulk of a measured 46 ms driver overhead. The recompute runs
+    # CHUNKED (per segment block under lax.map, _seg_reduce_chunked): the
+    # dense [N, K] matrices held ~7 GB of padded HBM temps at the 66.8M-lane
+    # fused-tail launch and OOM'd sponza1080@16spp.
+    groups = max(1, min(max_groups, sublanes // GROUP_ROWS))
+    seg_meta = _seg_reduce_chunked(
+        tt.aabb, o, d, cap,
+        t_min=t_min, p=p, groups=groups, rows_per_group=sublanes // groups,
+    )
 
     out = _run_segments(
-        tt, o, d, cap, want_s, tn_s,
+        tt, o, d, cap, None, None, seg_meta=seg_meta,
         t_min=t_min, any_hit=any_hit, interpret=interpret,
         sublanes=sublanes, e_cap=e_cap, stats=stats, half_leaf=half_leaf,
         div_free=div_free, rank_push=rank_push, anyhit_row=ah,
