@@ -265,7 +265,10 @@ def _chunk_count(s_count: int, cap: int = 16) -> int:
     return 1
 
 
-def _seg_reduce_chunked(aabb, o, d, cap, *, t_min, p, groups, rows_per_group):
+def _seg_reduce_chunked(
+    aabb, o, d, cap, *, t_min, p, groups, rows_per_group,
+    only_tid=None, exclude_tid=None,
+):
     """Segment-granular slab reductions WITHOUT materializing [N, K]:
     (seg_tn [S,K], seg_any [S,K], gact [S,G,K]) computed per segment chunk
     under lax.map. The dense [N, K] tn/want matrices cost ~2 GB apiece in
@@ -273,17 +276,26 @@ def _seg_reduce_chunked(aabb, o, d, cap, *, t_min, p, groups, rows_per_group):
     sponza1080@16spp compile OOM'd HBM by 298 MB with ~7 GB of slab temps,
     2026-08-19) while every consumer is a per-segment min/any — so reduce
     inside the chunk and never keep more than chunk_segs segments of slabs
-    live."""
+    live.
+
+    only_tid [Np] i32: restrict each ray's want to that single treelet
+    (nearest-first phase 1). exclude_tid [Np] i32: drop that treelet from
+    each ray's want (phase 2 — already visited). Mutually exclusive."""
     k = aabb.shape[0]
     n_pad = o.shape[0]
     s_count = n_pad // p
     cs = _chunk_count(s_count)
     nc = s_count // cs
+    tid = only_tid if only_tid is not None else exclude_tid
 
     def one(chunk):
-        oc, dc, cc = chunk  # [cs*p, 3] / [cs*p, 3] / [cs*p]
+        oc, dc, cc = chunk[:3]  # [cs*p, 3] / [cs*p, 3] / [cs*p]
         inv = 1.0 / jnp.where(jnp.abs(dc) < 1e-12, 1e-12, dc)
         tn, want = _treelet_slabs(aabb, oc, inv, t_min, cc)
+        if tid is not None:
+            cols = jax.lax.broadcasted_iota(jnp.int32, want.shape, 1)
+            sel = cols == chunk[3][:, None]
+            want = want & (sel if only_tid is not None else ~sel)
         tn_m = jnp.where(want, tn, jnp.inf).reshape(cs, p, k)
         w = want.reshape(cs, p, k)
         return (
@@ -292,14 +304,14 @@ def _seg_reduce_chunked(aabb, o, d, cap, *, t_min, p, groups, rows_per_group):
             jnp.any(w.reshape(cs, groups, rows_per_group * 128, k), axis=2),
         )
 
-    seg_tn, seg_any, gact = jax.lax.map(
-        one,
-        (
-            o.reshape(nc, cs * p, 3),
-            d.reshape(nc, cs * p, 3),
-            cap.reshape(nc, cs * p),
-        ),
+    operands = (
+        o.reshape(nc, cs * p, 3),
+        d.reshape(nc, cs * p, 3),
+        cap.reshape(nc, cs * p),
     )
+    if tid is not None:
+        operands = operands + (tid.reshape(nc, cs * p),)
+    seg_tn, seg_any, gact = jax.lax.map(one, operands)
     return (
         seg_tn.reshape(s_count, k),
         seg_any.reshape(s_count, k),
@@ -465,8 +477,19 @@ def treelet_intersect(
     vmem_limit=None,
     bit_loop: bool = False,
     max_groups: int = 32,
+    nearest_first: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
+
+    nearest_first=True splits the sorted launch into two phases: phase 1
+    traces each ray ONLY through its nearest candidate treelet (the sort
+    key's tid — segments are tid-ordered so phase-1 unions are ~pure),
+    phase 2 retraces the remaining candidates with each ray's cap tightened
+    to its phase-1 best-t. Per-RAY pruning where step_cull can only prune
+    per segment-step max: rays whose closest hit lives in their nearest
+    treelet (the common case) drop every other candidate individually.
+    One extra kernel launch + seg-reduce, no extra sort. Requires the
+    sorted path (ignored when presorted / single-treelet / sort_chunk>1).
 
     t_max may be scalar or per-ray [N] (shadow distances; 0 parks a lane).
     anyhit_mask ([N] bool): per-LANE any-hit flags for mixed shadow+bounce
@@ -576,7 +599,9 @@ def treelet_intersect(
                 o[:, 0], o[:, 1], o[:, 2],
                 d[:, 0], d[:, 1], d[:, 2],
                 cap,
-            ) + (() if ah is None else (ah,))
+            ) + (() if ah is None else (ah,)) + (
+                (tid0,) if nearest_first else ()
+            )
             sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=2)
             order = sorted_ops[1]
             o = jnp.stack(sorted_ops[2:5], axis=-1)
@@ -584,6 +609,8 @@ def treelet_intersect(
             cap = sorted_ops[8]
             if ah is not None:
                 ah = sorted_ops[9]
+            if nearest_first:
+                tid_s = sorted_ops[-1]
     # Segment metadata needs per-SORTED-ray slabs: RECOMPUTE on the sorted
     # rays (≈1 ms of VPU) instead of gathering the [N, K] tn/want matrices
     # through the permutation — XLA's per-lane gathers made those two pulls
@@ -592,21 +619,49 @@ def treelet_intersect(
     # dense [N, K] matrices held ~7 GB of padded HBM temps at the 66.8M-lane
     # fused-tail launch and OOM'd sponza1080@16spp.
     groups = max(1, min(max_groups, sublanes // GROUP_ROWS))
-    seg_meta = _seg_reduce_chunked(
-        tt.aabb, o, d, cap,
-        t_min=t_min, p=p, groups=groups, rows_per_group=sublanes // groups,
-    )
-
-    out = _run_segments(
-        tt, o, d, cap, None, None, seg_meta=seg_meta,
+    run_kw = dict(
         t_min=t_min, any_hit=any_hit, interpret=interpret,
         sublanes=sublanes, e_cap=e_cap, stats=stats, half_leaf=half_leaf,
         div_free=div_free, rank_push=rank_push, anyhit_row=ah,
         step_cull=step_cull, tables_hbm=tables_hbm, vmem_limit=vmem_limit,
         bit_loop=bit_loop, max_groups=max_groups,
     )
-    if stats:
-        out, stat_rows = out
+    red_kw = dict(
+        t_min=t_min, p=p, groups=groups, rows_per_group=sublanes // groups,
+    )
+    if nearest_first and order is not None and sort_chunk == 1 and k > 1:
+        # Phase 1: nearest candidate only (tid-sorted → ~pure unions).
+        meta1 = _seg_reduce_chunked(
+            tt.aabb, o, d, cap, only_tid=tid_s, **red_kw
+        )
+        out1 = _run_segments(tt, o, d, cap, None, None, seg_meta=meta1, **run_kw)
+        if stats:
+            out1, stat1 = out1
+        # Phase 2: remaining candidates, caps tightened to phase-1 best-t
+        # (inflated ~1e-4 so slab/Möller fp jitter can't drop a boundary
+        # hit; any-hit winners get cap ≈ 0 → parked). Miss lanes keep the
+        # EXACT original cap — inflating a shadow distance would admit
+        # blockers beyond the light.
+        hit1 = out1[3] >= 0.0
+        cap2 = jnp.where(hit1, out1[0] * (1.0 + 1e-4) + 1e-5, cap)
+        meta2 = _seg_reduce_chunked(
+            tt.aabb, o, d, cap2, exclude_tid=tid_s, **red_kw
+        )
+        out2 = _run_segments(
+            tt, o, d, cap2, None, None, seg_meta=meta2, **run_kw
+        )
+        if stats:
+            out2, stat2 = out2
+            stat_rows = stat1 + stat2
+        better2 = (out2[3] >= 0.0) & (~hit1 | (out2[0] < out1[0]))
+        out = jnp.where(better2[None, :], out2, out1)
+    else:
+        seg_meta = _seg_reduce_chunked(tt.aabb, o, d, cap, **red_kw)
+        out = _run_segments(
+            tt, o, d, cap, None, None, seg_meta=seg_meta, **run_kw
+        )
+        if stats:
+            out, stat_rows = out
 
     # NOTE: do NOT slice the any-hit output to one row before the unsort —
     # measured 3-6% SLOWER (occl sun 10.14→9.86, mix 6.09→5.73 Mray/s):

@@ -546,3 +546,37 @@ def test_bit_loop_four_word_masks():
         o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2), t_max=6.0
     )
     np.testing.assert_array_equal(np.asarray(occ.hit), np.asarray(ob))
+
+
+def test_nearest_first_matches_bruteforce(soup_tt):
+    """nearest_first (two-phase: nearest-treelet pure pass, then the
+    remaining candidates with per-ray caps tightened to phase-1 best-t)
+    must reproduce the oracle exactly: closest-hit with production flags,
+    any-hit with per-ray shadow caps, and rays starting outside the AABB."""
+    (v0, v1, v2), tt = soup_tt
+    n = 8 * 128 * 3 + 17
+    o, d = _rays(n, seed=33)
+    hit = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=8, nearest_first=True,
+        half_leaf=True, step_cull=True, bit_loop=True,
+    )
+    hb = intersect.intersect_bruteforce(
+        o, d, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)
+    )
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(hb.hit))
+    m = np.asarray(hb.hit)
+    np.testing.assert_allclose(
+        np.asarray(hit.t)[m], np.asarray(hb.t)[m], rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit.prim_id)[m], np.asarray(hb.prim_id)[m]
+    )
+
+    rng = np.random.default_rng(35)
+    tmax = rng.uniform(1.0, 30.0, (n,)).astype(np.float32)
+    occ = treelets.treelet_intersect(
+        tt, o, d, t_max=jnp.asarray(tmax), any_hit=True,
+        interpret=True, sublanes=8, nearest_first=True, step_cull=True,
+    )
+    expected = np.asarray(hb.hit) & (np.asarray(hb.t) < tmax)
+    np.testing.assert_array_equal(np.asarray(occ.hit), expected)

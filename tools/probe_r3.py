@@ -107,7 +107,8 @@ def main():
 
     def isect_fn(presorted=False, chunk=1, any_hit=False, per_ray_t=False,
                  half_leaf=False, div_free=False, rank_push=False,
-                 step_cull=False, bit_loop=False, max_groups=32):
+                 step_cull=False, bit_loop=False, max_groups=32,
+                 nearest_first=False):
         @jax.jit
         def f(nt, ct, ab_, o_, d_, tm):
             tt2 = tt._replace(node_tables=nt, cluster_tables=ct, aabb=ab_)
@@ -117,7 +118,7 @@ def main():
                 half_leaf=half_leaf, div_free=div_free, rank_push=rank_push,
                 step_cull=step_cull, tables_hbm=args.tables_hbm,
                 vmem_limit=vmem_limit, bit_loop=bit_loop,
-                max_groups=max_groups,
+                max_groups=max_groups, nearest_first=nearest_first,
             )
             return jnp.sum(hh.t) + jnp.sum(hh.prim_id)
 
@@ -339,6 +340,36 @@ def main():
             dt = _time(fo, nodes, clus, ab, o_m, d_mixm, t_mixm, reps=3)
             print(f"occlmix x{mult:<2d} ({nn/1e6:.1f}M)  : {dt*1e3:8.1f} ms  "
                   f"{nn/dt/1e6:6.2f} Mray/s", flush=True)
+
+    if args.what == "nf":
+        # Nearest-first two-phase A/B at production flags, base then nf,
+        # same-process, at 1x and 8x bounce density + the occl mix.
+        prod = dict(half_leaf=True, step_cull=True,
+                    bit_loop=args.bit_loop, max_groups=args.max_groups)
+        f_b = isect_fn(rank_push=True, **prod)
+        f_n = isect_fn(rank_push=True, nearest_first=True, **prod)
+        fo_b = isect_fn(any_hit=True, **prod)
+        fo_n = isect_fn(any_hit=True, nearest_first=True, **prod)
+        tm_a = jnp.full((n,), BG, jnp.float32)
+        for tag, f in (("bounce base", f_b), ("bounce NF", f_n)):
+            dt = _time(f, nodes, clus, ab, o_rand, d_rand, tm_a, reps=3)
+            print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
+                  flush=True)
+        for tag, f in (("occl mix base", fo_b), ("occl mix NF", fo_n)):
+            dt = _time(f, nodes, clus, ab, o_rand, d_mix, t_mix, reps=3)
+            print(f"{tag:24s}: {dt*1e3:8.1f} ms  {n/dt/1e6:6.2f} Mray/s",
+                  flush=True)
+        nn = n * 8
+        nprng = np.random.default_rng(25)
+        o_h = nprng.uniform(lo, hi, (nn, 3)).astype(np.float32)
+        d_h = nprng.normal(size=(nn, 3)).astype(np.float32)
+        d_h /= np.linalg.norm(d_h, axis=1, keepdims=True)
+        o_m, d_m = jnp.asarray(o_h), jnp.asarray(d_h)
+        tm_m = jnp.full((nn,), BG, jnp.float32)
+        for tag, f in (("bounce x8 base", f_b), ("bounce x8 NF", f_n)):
+            dt = _time(f, nodes, clus, ab, o_m, d_m, tm_m, reps=3)
+            print(f"{tag:24s}: {dt*1e3:8.1f} ms  {nn/dt/1e6:6.2f} Mray/s",
+                  flush=True)
 
     if args.what == "shadowsplit":
         # One mixed any-hit call vs two calls with the other half parked
