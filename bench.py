@@ -216,9 +216,10 @@ def main() -> None:
     # under SAH clusters (bounce x8 5.55 -> x16 5.95, occl 16.47 -> 18.64
     # Mray/s; tools/probe_r3.py --what density, 2026-08-19) — denser
     # populations sort into purer packets and driver cost amortizes.
-    # sponza720 takes 16 spp/frame (14.7M lanes); sponza1080 stays at 8 —
-    # its 33.4M-lane frame OOMs HBM (28.7G of 15.75G: the full wavefront
-    # carries ~20 per-lane temporaries through the bounce scan).
+    # Both sponza configs take 16 spp/frame: the 33.4M-lane 1080p frame
+    # fits HBM once the treelet driver's slab reductions and the row
+    # gathers run chunked under lax.map (probe1080 2026-08-19: 2.28 s/spp
+    # at 16 spp vs 2.54-2.67 at 8 — +11-17% convergence throughput).
     add(
         run_config(
             "sponza720", big_scene, big_tris, cam720, 1280, 720, 2,
@@ -229,7 +230,7 @@ def main() -> None:
     add(
         run_config(
             "sponza1080", big_scene, big_tris, cam1080, 1920, 1088, 4,
-            samples=8,
+            samples=16,
         )
     )
 

@@ -58,7 +58,7 @@ def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     )
 
 
-def map_row_gather(table, idx, fn, extras=(), max_chunk: int = 1 << 22):
+def map_row_gather(table, idx, fn, extras=(), max_chunk: int = 1 << 21):
     """Consume ``table[idx]`` rows through ``fn`` in bounded chunks.
 
     The third face of the TPU gather layout trap (tools/probe_gather2.py,
