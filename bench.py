@@ -1,8 +1,27 @@
 """Headline benchmark: Mrays/s/chip for progressive path tracing.
 
-Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}
-for the headline workload, and writes every configuration's numbers to
+Prints the headline JSON line on stdout ({"metric", "value", "unit",
+"vs_baseline"}) and writes every configuration's numbers to
 BENCH_DETAILS.json (also echoed to stderr).
+
+Driver-budget discipline (round-4 restructure): the whole bench fits a
+wall-clock budget (``RT3_BENCH_BUDGET_S``, default 1500 s) so the driver's
+timeout can never kill it without a recorded number again (round 3:
+rc=124, parsed=null). Mechanics:
+
+- configs run most-important-first: headline -> sponza720 -> sponza1080 ->
+  probe_gi -> hybrid_gi;
+- the headline stdout JSON line is flushed AS SOON as the headline config
+  lands, then re-emitted (same metric/value, more detail fields) after each
+  later config — whichever line a timeout leaves last is valid and
+  consistent;
+- BENCH_DETAILS.json is rewritten incrementally after every config;
+- sponza configs auto-shrink (spp ladder 32/16/8/4, frame count) to the
+  measured remaining budget, and every config is fail-isolated (an OOM or
+  wedged-tunnel timeout records an error entry instead of killing the run);
+- the persistent XLA compile cache (utils/runtime.init_compilation_cache)
+  makes repeat runs cheap: a pre-warmed cache turns ~15 min of compiles
+  into seconds.
 
 Baseline derivation (BASELINE.md): the reference publishes no numbers; the
 north-star target is Sponza 1080p, 4-bounce path tracing, >=30 progressive
@@ -18,11 +37,17 @@ Configs (BASELINE.json staging):
               reference snapshot, so the procedural sky plays its role).
 - sponza1080: same scene, 4 bounces, 1920x1088 (BASELINE config 4 at the
               reference's exact 1920x1088 window, main.rs:61).
+
+Metric accounting (stable across rounds 3+): ``value`` is MEASURED Mray/s
+(lanes that actually traverse; round 3 tightened this meter, deflating it
+vs rounds 1-2). ``nominal_value`` and ``headline_frame_ms`` are the
+accounting-stable cross-round comparators.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -31,9 +56,17 @@ import jax.numpy as jnp
 
 BASELINE_MRAYS_PER_CHIP = 1920 * 1088 * 5 * 30 / 8 / 1e6  # ~= 39.17
 
+BUDGET_S = float(os.environ.get("RT3_BENCH_BUDGET_S", "1500"))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
 
 def run_config(tag, scene, host_tris, cam, width, height, bounces,
-               n_frames=3, samples=1, fuse_shadow=False, backend=None):
+               n_frames=3, samples=1, fuse_shadow=False, backend=None,
+               compile_timeout=None):
     from raytracer3_tpu.ops.pallas import traverse_kernel as tk
     from raytracer3_tpu.ops import rng as rng_mod
     from raytracer3_tpu.render import film as film_mod
@@ -76,8 +109,13 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces,
     film, traced = frame(scene, backend.arrays, blue_noise, film, jnp.uint32(0))
     # Scalar pull forces the frame (block_until_ready can lie on this
     # runtime); guarded so a wedged tunnel raises instead of hanging the
-    # whole bench. First frame carries the compile — generous timeout.
-    runtime_mod.pull_guarded(traced, timeout=2400.0, what=f"{tag} compile frame")
+    # whole bench. First frame carries the compile — the timeout shrinks to
+    # what the wall-clock budget still allows.
+    if compile_timeout is None:
+        compile_timeout = max(120.0, min(2400.0, _remaining() - 60.0))
+    runtime_mod.pull_guarded(
+        traced, timeout=compile_timeout, what=f"{tag} compile frame"
+    )
 
     t0 = time.perf_counter()
     measured_rays = 0
@@ -143,7 +181,11 @@ def run_probe_config(tag, scene, host_tris, cam, width, height, n_frames=3,
     state = init_state()
     disp, state = step(state, cam=cam, frame_index=jnp.uint32(0))
     # Guarded scalar pull (block_until_ready lies here; wedged tunnel raises).
-    runtime_mod.pull_guarded(jnp.sum(disp), timeout=2400.0, what="probe compile")
+    runtime_mod.pull_guarded(
+        jnp.sum(disp),
+        timeout=max(120.0, min(2400.0, _remaining() - 60.0)),
+        what="probe compile",
+    )
     t0 = time.perf_counter()
     for i in range(1, n_frames + 1):
         disp, state = step(state, cam=cam, frame_index=jnp.uint32(i))
@@ -164,8 +206,6 @@ def sponza_world_scene(detail: int = 8):
     reference src/assets/mod.rs:180-286 parity): procedural atrium → GLB
     blob → processed-asset cache → World pools → Scene + host tris."""
     import os
-
-    import numpy as np
 
     from raytracer3_tpu.app import world as world_mod
     from raytracer3_tpu.scene import assets, procedural
@@ -190,74 +230,168 @@ def sponza_world_scene(detail: int = 8):
     return scene, w._host_tris()
 
 
+class _Emitter:
+    """Incremental result sink: rewrites BENCH_DETAILS.json and re-prints
+    the stdout headline line after every config, so a driver timeout at ANY
+    point past the headline still leaves a parseable, consistent record."""
+
+    def __init__(self):
+        self.results = []
+        self.errors = []
+
+    def add(self, r_):
+        self.results.append(r_)
+        print(json.dumps(r_), file=sys.stderr, flush=True)
+        self.flush()
+
+    def fail(self, tag, exc):
+        err = {"config": tag, "error": f"{type(exc).__name__}: {exc}"[:500]}
+        self.errors.append(err)
+        print(json.dumps(err), file=sys.stderr, flush=True)
+        self.flush()
+
+    def _by(self, tag):
+        for r_ in self.results:
+            if r_["config"] == tag:
+                return r_
+        return None
+
+    def headline_line(self):
+        head = self._by("headline")
+        if head is None:
+            return None
+        line = {
+            "metric": "mrays_per_s_per_chip",
+            "value": head["mrays_per_s_per_chip"],
+            "unit": "Mray/s",
+            "vs_baseline": head["vs_baseline"],
+            # Same-accounting-across-rounds comparators: the measured
+            # ray meter tightened in round 3 (shadow lanes that never
+            # traverse no longer count), which deflates `value` vs
+            # older rounds; nominal + frame_ms are stable yardsticks.
+            "nominal_value": head["nominal_mrays_per_s_per_chip"],
+            "headline_frame_ms": head["frame_ms"],
+        }
+        sponza = self._by("sponza1080")
+        if sponza is not None:
+            line.update(
+                {
+                    "sponza1080_mrays": sponza["mrays_per_s_per_chip"],
+                    "sponza1080_frame_ms": sponza["frame_ms"],
+                    "sponza1080_spp_per_s": sponza["spp_per_s"],
+                }
+            )
+        s720 = self._by("sponza720")
+        if s720 is not None:
+            line["sponza720_spp_per_s"] = s720["spp_per_s"]
+        return line
+
+    def flush(self):
+        detail = list(self.results) + self.errors
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(detail, f, indent=1)
+        line = self.headline_line()
+        if line is not None:
+            print(json.dumps(line), flush=True)
+
+
+def _pick_spp(ladder, per_spp_s, compile_s, n_frames, share):
+    """Largest spp from `ladder` whose estimated cost (compile + n_frames
+    frames at `per_spp_s` seconds/spp, assuming cost ~ linear in spp) fits
+    `share` of the remaining budget."""
+    for spp in ladder:
+        est = compile_s + n_frames * per_spp_s * spp
+        if est <= _remaining() * share:
+            return spp
+    return ladder[-1]
+
+
 def main() -> None:
     from raytracer3_tpu.scene import procedural
     from raytracer3_tpu.utils import runtime
 
     runtime.init_compilation_cache()
+    em = _Emitter()
 
-    results = []
-
-    def add(r_):
-        results.append(r_)
-        print(json.dumps(r_), file=sys.stderr, flush=True)
-
+    # --- headline (the official number) first ---
     scene, tris = procedural.atrium_scene(detail=2, return_host=True)
     cam = procedural.atrium_camera(aspect=960 / 544)
-    add(run_config("headline", scene, tris, cam, 960, 544, 4))
-    add(run_probe_config("probe_gi", scene, tris, cam, 960, 544))
-    add(
-        run_probe_config("hybrid_gi", scene, tris, cam, 960, 544, hybrid=True)
-    )
+    try:
+        em.add(run_config("headline", scene, tris, cam, 960, 544, 4))
+    except Exception as e:  # noqa: BLE001 — fail-isolated configs
+        em.fail("headline", e)
 
-    big_scene, big_tris = sponza_world_scene(detail=8)
-    cam720 = procedural.atrium_camera(aspect=1280 / 720)
-    # Ray density is a measured throughput lever and keeps scaling past 8
-    # under SAH clusters (bounce x8 5.55 -> x16 5.95, occl 16.47 -> 18.64
-    # Mray/s; tools/probe_r3.py --what density, 2026-08-19) — denser
-    # populations sort into purer packets and driver cost amortizes.
-    # Both sponza configs take 16 spp/frame: the 33.4M-lane 1080p frame
-    # fits HBM once the treelet driver's slab reductions and the row
-    # gathers run chunked under lax.map (probe1080 2026-08-19: 2.28 s/spp
-    # at 16 spp vs 2.54-2.67 at 8 — +11-17% convergence throughput).
-    add(
-        run_config(
-            "sponza720", big_scene, big_tris, cam720, 1280, 720, 2,
-            samples=16,
+    # --- sponza configs: the north-star scene, budget-adaptive spp ---
+    # Ray density is a measured throughput lever (bounce x8 5.55 -> x16
+    # 5.95, occl 16.47 -> 18.64 Mray/s; tools/probe_spp.py): denser
+    # populations sort into purer packets and driver cost amortizes; the
+    # ladder tops at what HBM fits (docs/ROADMAP.md density notes).
+    try:
+        big_scene, big_tris = sponza_world_scene(detail=8)
+        cam720 = procedural.atrium_camera(aspect=1280 / 720)
+        cam1080 = procedural.atrium_camera(aspect=1920 / 1088)
+        # Cost model priors (measured round 3/4, cold-compile worst case;
+        # warm cache makes compile ~free). ~0.55 s/spp at 720p, ~2.2 at
+        # 1080p.
+        # Ladder top is what HBM fits (32 OOMs pre-lane-diet; bump via env
+        # once the diet lands — tools/probe_spp.py outcome).
+        max720 = int(os.environ.get("RT3_BENCH_MAX_SPP720", "16"))
+        spp720 = _pick_spp(
+            [s for s in (32, 16, 8, 4) if s <= max720],
+            per_spp_s=0.6, compile_s=400.0, n_frames=2, share=0.45,
         )
-    )
-    cam1080 = procedural.atrium_camera(aspect=1920 / 1088)
-    add(
-        run_config(
-            "sponza1080", big_scene, big_tris, cam1080, 1920, 1088, 4,
-            samples=16,
+        try:
+            em.add(
+                run_config(
+                    "sponza720", big_scene, big_tris, cam720, 1280, 720, 2,
+                    samples=spp720, n_frames=2,
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            em.fail("sponza720", e)
+        spp1080 = _pick_spp(
+            [16, 8, 4], per_spp_s=2.3, compile_s=500.0, n_frames=2,
+            share=0.8,
         )
-    )
+        try:
+            em.add(
+                run_config(
+                    "sponza1080", big_scene, big_tris, cam1080, 1920, 1088, 4,
+                    samples=spp1080, n_frames=2,
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            em.fail("sponza1080", e)
+    except Exception as e:  # noqa: BLE001 — scene build itself failed
+        em.fail("sponza_scene", e)
 
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(results, f, indent=1)
+    # --- probe pipelines (cheap; skipped if the budget is spent) ---
+    for tag, hybrid in (("probe_gi", False), ("hybrid_gi", True)):
+        if _remaining() < 120.0:
+            em.fail(tag, TimeoutError("skipped: bench budget spent"))
+            continue
+        try:
+            em.add(
+                run_probe_config(tag, scene, tris, cam, 960, 544, hybrid=hybrid)
+            )
+        except Exception as e:  # noqa: BLE001
+            em.fail(tag, e)
 
-    head = results[0]
-    sponza = results[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "mrays_per_s_per_chip",
-                "value": head["mrays_per_s_per_chip"],
-                "unit": "Mray/s",
-                "vs_baseline": head["vs_baseline"],
-                # Same-accounting-across-rounds comparators: the measured
-                # ray meter tightened in round 3 (shadow lanes that never
-                # traverse no longer count), which deflates `value` vs
-                # older rounds; nominal + frame_ms are stable yardsticks.
-                "nominal_value": head["nominal_mrays_per_s_per_chip"],
-                "headline_frame_ms": head["frame_ms"],
-                "sponza1080_mrays": sponza["mrays_per_s_per_chip"],
-                "sponza1080_frame_ms": sponza["frame_ms"],
-                "sponza1080_spp_per_s": sponza["spp_per_s"],
-            }
+    em.flush()
+    if em.headline_line() is None:
+        # Headline failed — still leave a parseable record for the driver.
+        print(
+            json.dumps(
+                {
+                    "metric": "mrays_per_s_per_chip",
+                    "value": 0.0,
+                    "unit": "Mray/s",
+                    "vs_baseline": 0.0,
+                    "error": (em.errors[0]["error"] if em.errors else "unknown"),
+                }
+            ),
+            flush=True,
         )
-    )
 
 
 if __name__ == "__main__":

@@ -1,9 +1,12 @@
 """Sample-batch density A/B through bench.run_config (the real bench path).
 
 The density curve keeps paying under SAH clusters (bounce x8 5.55 -> x16
-5.95 Mray/s, occl +13%; docs/ROADMAP.md 2026-08-19), so probe whether
-sponza720 should batch 32 spp/frame (29.5M lanes -- fits: sponza1080@16spp
-runs 33.4M). Compares spp_per_s, the honest convergence-rate metric.
+5.95 Mray/s, occl +13%; docs/ROADMAP.md 2026-08-19). OUTCOME of the first
+ladder run (2026-08-20): sponza720 @ 32 spp (29.5M lanes) OOMs HBM at
+compile — 16.33 G of 15.75 G, a long tail of ~112 MB fp32 [29.5M]-lane
+temps (variadic sort operands, brdf fusions), NOT one fixable giant; the
+ladder ends at 16 spp pending a lane-state diet (bf16/packed carries).
+Compares spp_per_s, the honest convergence-rate metric.
 
     python tools/probe_spp.py --config sponza720 --samples 16 32
 """
