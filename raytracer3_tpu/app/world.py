@@ -63,8 +63,12 @@ class World:
 
     # -- meshes / entities (spawn analog, main.rs:77-83) ---------------------
 
-    def add_mesh(self, positions, normals, uvs, indices, geo_id) -> pools_mod.MeshHandle:
-        return self.pool.add_mesh(positions, normals, uvs, indices, geo_id)
+    def add_mesh(
+        self, positions, normals, uvs, indices, geo_id, colors=None
+    ) -> pools_mod.MeshHandle:
+        return self.pool.add_mesh(
+            positions, normals, uvs, indices, geo_id, colors=colors
+        )
 
     def add_mesh_data(self, md) -> pools_mod.MeshHandle:
         """Register a gltf.MeshData; its material table is appended to the
@@ -75,7 +79,8 @@ class World:
                 md.base_color[i], md.emission[i], md.metallic[i], md.roughness[i]
             )
         return self.add_mesh(
-            md.positions, md.normals, md.uvs, md.indices, md.geo_id + base
+            md.positions, md.normals, md.uvs, md.indices, md.geo_id + base,
+            colors=md.colors,
         )
 
     # -- async asset loading (bevy multi_threaded + loaded_assets analog) ----
@@ -171,6 +176,7 @@ class World:
                 metallic=np.asarray(self._materials["metallic"]),
                 roughness=np.asarray(self._materials["roughness"]),
                 env_map=self.env_map,
+                colors=flat.get("colors"),
             )
             self._backend = None
             self._built_version = self.pool.version
@@ -220,6 +226,20 @@ class World:
                 idx_parts.append(m["indices"] + voff)
                 geo_parts.append(m["geo_id"])
                 voff += len(m["positions"])
+            any_colors = any("colors" in m for m in meshes)
+            colors = (
+                np.concatenate(
+                    [
+                        m.get(
+                            "colors",
+                            np.ones((len(m["positions"]), 3), np.float32),
+                        )
+                        for m in meshes
+                    ]
+                )
+                if any_colors
+                else None
+            )
             self._inst_scene_base = scene_types.make_scene(
                 positions=positions,
                 normals=normals,
@@ -231,6 +251,7 @@ class World:
                 metallic=np.asarray(self._materials["metallic"]),
                 roughness=np.asarray(self._materials["roughness"]),
                 env_map=self.env_map,
+                colors=colors,
             )
             self._inst_scene_sv = sv
             self._inst_scene_tv = None

@@ -22,7 +22,7 @@ from raytracer3_tpu.scene import gltf as gltf_mod
 
 # Bump to invalidate all caches when the processed format changes (the role of
 # the reference's loader-version fields in .meta files).
-PIPELINE_VERSION = 2
+PIPELINE_VERSION = 3  # v3: COLOR_0 vertex colors in the processed format
 
 _DEFAULT_CACHE_DIR = os.environ.get(
     "RT3_ASSET_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "raytracer3_tpu")
@@ -69,6 +69,7 @@ def load_glb_cached(
                 [z[k] for k in sorted(f for f in z.files if f.startswith("tex_img_"))]
                 or None
             ),
+            colors=z["colors"] if "colors" in z.files else None,
         )
 
     md = gltf_mod.load_glb(raw, texture_size=texture_size)
@@ -86,6 +87,8 @@ def load_glb_cached(
     )
     if md.textures is not None:
         arrays["textures"] = md.textures
+    if md.colors is not None:
+        arrays["colors"] = md.colors
     if md.tex_images is not None:
         # Variable-size native images: one entry each (npz keys sort 0-9).
         for i, im in enumerate(md.tex_images):

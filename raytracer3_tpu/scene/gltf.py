@@ -10,8 +10,10 @@ transforms in a GPU buffer — instance-level TLAS support is tracked for the
 two-level BVH).
 
 Supports: GLB container (JSON+BIN chunks), accessors with strides, u8/u16/u32
-indices, POSITION/NORMAL/TEXCOORD_0 attributes, node hierarchies with
-matrix/TRS transforms, pbrMetallicRoughness materials, emissiveFactor +
+indices, POSITION/NORMAL/TEXCOORD_0/COLOR_0 attributes (COLOR_0 as VEC3/VEC4
+float or normalized u8/u16 — interpolated into albedo at hit time, the
+hit_logic.slang:5-39 vertex-color path), node hierarchies with matrix/TRS
+transforms, pbrMetallicRoughness materials, emissiveFactor +
 KHR_materials_emissive_strength, base-color textures (PNG/JPEG via PIL),
 sparse-free accessors. Also includes a minimal write_glb for tests and
 procedural asset generation.
@@ -60,6 +62,10 @@ class MeshData:
     # Native-resolution decoded images (variable sizes) — feed the mip
     # atlas (scene/textures.py) in make_scene.
     tex_images: Optional[list] = None
+    # Per-vertex COLOR_0 (linear rgb; None when no primitive carries it) —
+    # barycentric-interpolated into albedo at hit time, mirroring
+    # hit_logic.slang:5-39 via src/assets/mod.rs:224-244.
+    colors: Optional[np.ndarray] = None  # [V, 3] f32
 
 
 def _parse_glb(data: bytes):
@@ -208,11 +214,12 @@ def load_glb(path_or_bytes, texture_size: int = 256) -> MeshData:
         )
 
     # Walk the default scene's node tree, flattening transforms.
-    positions, normals, uvs, indices, geo_id = [], [], [], [], []
+    positions, normals, uvs, indices, geo_id, colors = [], [], [], [], [], []
+    has_colors = False
     voff = 0
 
     def emit_mesh(mesh_idx: int, world: np.ndarray):
-        nonlocal voff
+        nonlocal voff, has_colors
         mesh = gltf["meshes"][mesh_idx]
         for prim in mesh["primitives"]:
             if prim.get("mode", 4) != 4:
@@ -230,6 +237,15 @@ def load_glb(path_or_bytes, texture_size: int = 256) -> MeshData:
                 if "TEXCOORD_0" in attrs
                 else np.zeros((n, 2), np.float32)
             )
+            if "COLOR_0" in attrs:
+                # VEC3 or VEC4 (alpha dropped), float or normalized u8/u16
+                # (_read_accessor de-normalizes); spec says linear rgb.
+                col = _read_accessor(
+                    gltf, bin_chunk, attrs["COLOR_0"]
+                ).astype(np.float32)[:, :3]
+                has_colors = True
+            else:
+                col = np.ones((n, 3), np.float32)
             if "indices" in prim:
                 idx = _read_accessor(gltf, bin_chunk, prim["indices"]).reshape(-1).astype(np.int64)
             else:
@@ -259,6 +275,7 @@ def load_glb(path_or_bytes, texture_size: int = 256) -> MeshData:
             positions.append(pos_w.astype(np.float32))
             normals.append(nrm_w.astype(np.float32))
             uvs.append(uv)
+            colors.append(col)
             indices.append(tri + voff)
             geo_id.extend([prim.get("material", 0)] * len(tri))
             voff += n
@@ -297,6 +314,7 @@ def load_glb(path_or_bytes, texture_size: int = 256) -> MeshData:
         base_color_texture=bc_tex,
         textures=textures,
         tex_images=tex_images,
+        colors=np.concatenate(colors) if has_colors else None,
     )
 
 
@@ -310,6 +328,7 @@ def write_glb(
     metallic: float = 0.0,
     roughness: float = 1.0,
     emissive=(0.0, 0.0, 0.0),
+    colors: np.ndarray | None = None,
 ) -> None:
     """Write a minimal single-mesh GLB (tests + procedural asset export)."""
     bufs = []
@@ -354,6 +373,19 @@ def write_glb(
             {"bufferView": len(views) - 1, "componentType": 5126, "count": len(uvs), "type": "VEC2"}
         )
         attrs["TEXCOORD_0"] = len(accessors) - 1
+    if colors is not None:
+        colors = np.asarray(colors, np.float32)
+        c_off, c_len = add(colors)
+        views.append({"buffer": 0, "byteOffset": c_off, "byteLength": c_len})
+        accessors.append(
+            {
+                "bufferView": len(views) - 1,
+                "componentType": 5126,
+                "count": len(colors),
+                "type": "VEC4" if colors.shape[1] == 4 else "VEC3",
+            }
+        )
+        attrs["COLOR_0"] = len(accessors) - 1
 
     binblob = b"".join(bufs)
     gltf = {
@@ -522,4 +554,5 @@ def mesh_to_scene(md: MeshData, env_map: np.ndarray | None = None):
         textures=md.textures,
         env_map=env_map,
         tex_images=md.tex_images,
+        colors=md.colors,
     )

@@ -74,6 +74,7 @@ class GeometryPool:
         uvs: np.ndarray,
         indices: np.ndarray,
         geo_id: np.ndarray,
+        colors: Optional[np.ndarray] = None,
     ) -> MeshHandle:
         mid = self._next_mesh
         self._next_mesh += 1
@@ -84,6 +85,8 @@ class GeometryPool:
             indices=np.asarray(indices, np.int32),
             geo_id=np.asarray(geo_id, np.int32),
         )
+        if colors is not None:
+            self._meshes[mid]["colors"] = np.asarray(colors, np.float32)
         self.version += 1
         self.structural_version += 1
         return MeshHandle(mid, len(positions), len(indices))
@@ -120,6 +123,8 @@ class GeometryPool:
         moment). Arrays are padded to power-of-two capacity with degenerate
         triangles so jit signatures are stable across small edits."""
         positions, normals, uvs, indices, geo_id, inst_id = [], [], [], [], [], []
+        colors = []
+        any_colors = any("colors" in m for m in self._meshes.values())
         voff = 0
         for inst in self._instances.values():
             m = self._meshes[inst.mesh_id]
@@ -132,6 +137,10 @@ class GeometryPool:
             positions.append(pos.astype(np.float32))
             normals.append(nrm.astype(np.float32))
             uvs.append(m["uvs"])
+            if any_colors:
+                colors.append(
+                    m.get("colors", np.ones((len(pos), 3), np.float32))
+                )
             indices.append(m["indices"] + voff)
             geo_id.append(m["geo_id"])
             inst_id.append(np.full(len(m["indices"]), inst.instance_id, np.int32))
@@ -145,6 +154,7 @@ class GeometryPool:
         indices = np.concatenate(indices)
         geo_id = np.concatenate(geo_id)
         inst_id = np.concatenate(inst_id)
+        colors = np.concatenate(colors) if any_colors else None
 
         if pad:
             vcap = _next_pow2(len(positions))
@@ -156,6 +166,10 @@ class GeometryPool:
             if vp:
                 normals[-vp:, 2] = 1.0  # unit normals for padding vertices
             uvs = np.pad(uvs, ((0, vp), (0, 0)))
+            if colors is not None:
+                colors = np.pad(
+                    colors, ((0, vp), (0, 0)), constant_values=1.0
+                )
             # Degenerate padding triangles reference vertex 0 three times.
             indices = np.pad(indices, ((0, tp), (0, 0)))
             geo_id = np.pad(geo_id, (0, tp))
@@ -169,4 +183,5 @@ class GeometryPool:
             geo_id=geo_id,
             instance_id=inst_id,
             real_tri_count=int((inst_id >= 0).sum()),
+            colors=colors,
         )

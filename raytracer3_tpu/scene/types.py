@@ -103,6 +103,12 @@ class Scene(NamedTuple):
     # whose instances always shade with their mesh materials). Fetched with
     # the same one-hot MXU matmul as the base row.
     inst_mat_table: Optional[jax.Array] = None  # [I, 12] f32
+    # Per-vertex COLOR_0 (hit_logic.slang:5-39 interpolates it into albedo).
+    # Only set when the asset carries colors; the fast path instead widens
+    # shade_table to 32 lanes (lanes 16:25 = c0,c1,c2) — same single row
+    # gather (2-axis gathers lane-pad to 128 regardless of width), zero hot-
+    # path cost for color-less scenes.
+    vertex_colors: Optional[jax.Array] = None  # [V, 3] f32
 
     @property
     def num_triangles(self) -> int:
@@ -231,6 +237,8 @@ def hit_surface_info(
         # ONE [N, 16] row gather, interpolated inside bounded chunks so the
         # lane-padded [chunk, 128] buffer never exceeds ~1 GB at any lane
         # count (mathx.map_row_gather; 2-axis gathers pad 16 → 128 lanes).
+        wide = scene.shade_table.shape[1] > 16  # vertex-color rows
+
         def _shade(row, uvc):
             w0 = (1.0 - uvc[:, 0] - uvc[:, 1])[:, None]
             w1 = uvc[:, 0:1]
@@ -239,9 +247,18 @@ def hit_surface_info(
             tuv = (
                 row[:, 9:11] * w0 + row[:, 11:13] * w1 + row[:, 13:15] * w2
             )
-            return nrm, tuv, row[:, 15].astype(jnp.int32)
+            if wide:
+                # COLOR_0 barycentric interpolation (hit_logic.slang:5-39).
+                vc = (
+                    row[:, 16:19] * w0
+                    + row[:, 19:22] * w1
+                    + row[:, 22:25] * w2
+                )
+            else:
+                vc = None
+            return nrm, tuv, row[:, 15].astype(jnp.int32), vc
 
-        normal, tex_uv, g = mathx.map_row_gather(
+        normal, tex_uv, g, vtx_color = mathx.map_row_gather(
             scene.shade_table, pid, _shade, extras=(uv,)
         )
         if inst is not None and scene.inst_normal_mats is not None:
@@ -265,6 +282,8 @@ def hit_surface_info(
             imat = _onehot_rows(scene.inst_mat_table, jnp.maximum(inst, 0))
             mat = jnp.where(imat[:, 11:12] > 0.5, imat, mat)
         color = mat[:, 0:3]
+        if vtx_color is not None:
+            color = color * vtx_color
         if scene.tex_atlas is not None:
             from raytracer3_tpu.scene import textures as tex_mod
 
@@ -298,6 +317,11 @@ def hit_surface_info(
     g = scene.geo_id[pid]
     mat = scene.materials
     color = mat.base_color[g, :3]
+    if scene.vertex_colors is not None:
+        c0, c1, c2 = (scene.vertex_colors[tri[:, k]] for k in range(3))
+        color = color * (
+            c0 * w[:, 0:1] + c1 * w[:, 1:2] + c2 * w[:, 2:3]
+        )
     if scene.tex_atlas is not None:
         from raytracer3_tpu.scene import textures as tex_mod
 
@@ -534,12 +558,16 @@ def make_scene(
     textures: np.ndarray | None = None,
     env_map: np.ndarray | None = None,
     tex_images: list | None = None,
+    colors: np.ndarray | None = None,
 ) -> Scene:
     """Assemble a device Scene from host numpy arrays.
 
     tex_images: list of native-resolution [H, W, 3] images → packed into a
     mip atlas (scene/textures.py), taking precedence over `textures` (the
-    legacy common-resolution array)."""
+    legacy common-resolution array).
+    colors: optional [V, 3] per-vertex COLOR_0 — widens the shade table to
+    32 lanes so hit shading interpolates it into albedo
+    (hit_logic.slang:5-39); color-less scenes keep the 16-lane rows."""
     g = len(base_color)
     if base_color_texture is None:
         base_color_texture = np.full(g, -1, np.int32)
@@ -551,8 +579,14 @@ def make_scene(
     geo_id = np.asarray(geo_id, np.int32)
 
     # Denormalized per-triangle shading rows (host-side; one gather at hit).
+    # Vertex colors (when present) widen the row 16 → 32 lanes — the gather
+    # prices by row count, not width (2-axis gathers lane-pad to 128), so
+    # the extra lanes only cost table HBM.
+    use_colors = colors is not None and not np.allclose(
+        np.asarray(colors, np.float32), 1.0
+    )
     t = indices.shape[0]
-    st = np.zeros((t, 16), np.float32)
+    st = np.zeros((t, 32 if use_colors else 16), np.float32)
     st[:, 0:3] = normals[indices[:, 0]]
     st[:, 3:6] = normals[indices[:, 1]]
     st[:, 6:9] = normals[indices[:, 2]]
@@ -560,6 +594,11 @@ def make_scene(
     st[:, 11:13] = uvs[indices[:, 1]]
     st[:, 13:15] = uvs[indices[:, 2]]
     st[:, 15] = geo_id.astype(np.float32)
+    if use_colors:
+        colors = np.asarray(colors, np.float32)
+        st[:, 16:19] = colors[indices[:, 0]]
+        st[:, 19:22] = colors[indices[:, 1]]
+        st[:, 22:25] = colors[indices[:, 2]]
 
     mt = np.zeros((g, 12), np.float32)
     mt[:, 0:3] = np.asarray(base_color, np.float32)[:, :3]
@@ -625,6 +664,7 @@ def make_scene(
         emissive=build_emissive_table(positions, indices, geo_id, emission),
         shade_table=jnp.asarray(st),
         mat_table=jnp.asarray(mt),
+        vertex_colors=(jnp.asarray(colors) if use_colors else None),
         **env_kw,
         **tex_kw,
     )
