@@ -18,6 +18,8 @@
 #include <cstdint>
 #include <cstring>
 #include <queue>
+#include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 extern "C" {
@@ -650,6 +652,214 @@ int rt3_split_fragments(const float* v0, const float* v1, const float* v2,
     }
   }
   return m;
+}
+
+// ---------------------------------------------------------------------------
+// Quadric-error-metric mesh simplification (Garland–Heckbert '97 style,
+// half-edge collapses onto EXISTING vertices so the caller's vertex buffer is
+// reused unchanged — the same contract as the meshopt demo's `simplify`
+// exercise, reference src/meshopt/meshopt.rs:559-700). From-scratch
+// implementation: per-vertex plane quadrics, lazy-invalidated collapse heap,
+// border-edge locking, and a normal-flip rejection test.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Quadric {
+  // Symmetric 4x4: a2 ab ac ad b2 bc bd c2 cd d2.
+  double q[10] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+  void add_plane(double a, double b, double c, double d, double w) {
+    q[0] += w * a * a; q[1] += w * a * b; q[2] += w * a * c; q[3] += w * a * d;
+    q[4] += w * b * b; q[5] += w * b * c; q[6] += w * b * d;
+    q[7] += w * c * c; q[8] += w * c * d; q[9] += w * d * d;
+  }
+  void add(const Quadric& o) {
+    for (int i = 0; i < 10; ++i) q[i] += o.q[i];
+  }
+  double error(const float* p) const {
+    double x = p[0], y = p[1], z = p[2];
+    return q[0] * x * x + 2 * q[1] * x * y + 2 * q[2] * x * z + 2 * q[3] * x +
+           q[4] * y * y + 2 * q[5] * y * z + 2 * q[6] * y +
+           q[7] * z * z + 2 * q[8] * z + q[9];
+  }
+};
+
+struct Collapse {
+  double err;
+  int u, v;        // collapse u -> v (u disappears)
+  int gen;         // generation stamps of u and v at push time
+  bool operator<(const Collapse& o) const { return err > o.err; }  // min-heap
+};
+
+}  // namespace
+
+int rt3_simplify(const float* pos, int n_verts, const int* indices, int n_tris,
+                 int target_tris, float max_error, int* out_indices,
+                 float* out_error) {
+  std::vector<Quadric> vq(n_verts);
+  std::vector<int> tri(indices, indices + (size_t)n_tris * 3);
+  std::vector<char> tri_dead(n_tris, 0);
+  // Per-vertex incident triangle lists.
+  std::vector<std::vector<int>> vtris(n_verts);
+  for (int t = 0; t < n_tris; ++t)
+    for (int k = 0; k < 3; ++k) vtris[tri[t * 3 + k]].push_back(t);
+
+  auto tri_plane = [&](int t, double* abcd, double* area) {
+    const float* a = pos + (size_t)tri[t * 3 + 0] * 3;
+    const float* b = pos + (size_t)tri[t * 3 + 1] * 3;
+    const float* c = pos + (size_t)tri[t * 3 + 2] * 3;
+    double e1[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+    double e2[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+    double nx = e1[1] * e2[2] - e1[2] * e2[1];
+    double ny = e1[2] * e2[0] - e1[0] * e2[2];
+    double nz = e1[0] * e2[1] - e1[1] * e2[0];
+    double len = std::sqrt(nx * nx + ny * ny + nz * nz);
+    *area = 0.5 * len;
+    if (len < 1e-30) return false;
+    nx /= len; ny /= len; nz /= len;
+    abcd[0] = nx; abcd[1] = ny; abcd[2] = nz;
+    abcd[3] = -(nx * a[0] + ny * a[1] + nz * a[2]);
+    return true;
+  };
+  for (int t = 0; t < n_tris; ++t) {
+    double p[4], area;
+    if (tri_plane(t, p, &area))
+      for (int k = 0; k < 3; ++k)
+        vq[tri[t * 3 + k]].add_plane(p[0], p[1], p[2], p[3], area);
+  }
+
+  // Border edges (edges with exactly one incident face) lock both endpoints:
+  // collapsing them erodes the open boundary (meshopt's LockBorder behavior).
+  std::vector<char> locked(n_verts, 0);
+  {
+    std::unordered_map<uint64_t, int> edge_count;
+    edge_count.reserve((size_t)n_tris * 3);
+    auto ekey = [](int a, int b) {
+      if (a > b) std::swap(a, b);
+      return ((uint64_t)a << 32) | (uint32_t)b;
+    };
+    for (int t = 0; t < n_tris; ++t)
+      for (int k = 0; k < 3; ++k)
+        edge_count[ekey(tri[t * 3 + k], tri[t * 3 + (k + 1) % 3])]++;
+    for (auto& kv : edge_count)
+      if (kv.second == 1) {
+        locked[(int)(kv.first >> 32)] = 1;
+        locked[(int)(kv.first & 0xffffffffu)] = 1;
+      }
+  }
+
+  std::vector<int> gen(n_verts, 0);
+  std::priority_queue<Collapse> heap;
+  auto push_edge = [&](int u, int v) {
+    if (u == v) return;
+    // Directional half-edge collapse u -> v keeps v's position.
+    if (locked[u]) return;
+    Quadric q = vq[u];
+    q.add(vq[v]);
+    double e = q.error(pos + (size_t)v * 3);
+    heap.push({e, u, v, gen[u] + gen[v]});
+  };
+  {
+    std::unordered_set<uint64_t> seen;
+    seen.reserve((size_t)n_tris * 3);
+    for (int t = 0; t < n_tris; ++t)
+      for (int k = 0; k < 3; ++k) {
+        int a = tri[t * 3 + k], b = tri[t * 3 + (k + 1) % 3];
+        uint64_t key = ((uint64_t)std::min(a, b) << 32) | (uint32_t)std::max(a, b);
+        if (seen.insert(key).second) {
+          push_edge(a, b);
+          push_edge(b, a);
+        }
+      }
+  }
+
+  int live = n_tris;
+  double worst = 0.0;
+  std::vector<int> remap(n_verts);
+  for (int i = 0; i < n_verts; ++i) remap[i] = i;
+  auto find = [&](int v) {
+    while (remap[v] != v) { remap[v] = remap[remap[v]]; v = remap[v]; }
+    return v;
+  };
+
+  while (live > target_tris && !heap.empty()) {
+    Collapse c = heap.top();
+    heap.pop();
+    int u = find(c.u), v = find(c.v);
+    if (u != c.u || v != c.v || u == v) continue;          // stale
+    if (c.gen != gen[u] + gen[v]) continue;                // lazy invalidation
+    if (max_error > 0 && c.err > (double)max_error) break;  // error budget
+    // Normal-flip rejection: faces around u (not containing v) must keep
+    // their orientation when u moves to v's position.
+    bool flip = false;
+    for (int t : vtris[u]) {
+      if (tri_dead[t]) continue;
+      int a = tri[t * 3], b = tri[t * 3 + 1], d = tri[t * 3 + 2];
+      if (a == v || b == v || d == v) continue;
+      const float* pa = pos + (size_t)a * 3;
+      const float* pb = pos + (size_t)b * 3;
+      const float* pd = pos + (size_t)d * 3;
+      auto nrm = [&](const float* x, const float* y, const float* z, double* n) {
+        double e1[3] = {y[0] - x[0], y[1] - x[1], y[2] - x[2]};
+        double e2[3] = {z[0] - x[0], z[1] - x[1], z[2] - x[2]};
+        n[0] = e1[1] * e2[2] - e1[2] * e2[1];
+        n[1] = e1[2] * e2[0] - e1[0] * e2[2];
+        n[2] = e1[0] * e2[1] - e1[1] * e2[0];
+      };
+      double n0[3], n1[3];
+      nrm(pa, pb, pd, n0);
+      const float* qa = (a == u) ? pos + (size_t)v * 3 : pa;
+      const float* qb = (b == u) ? pos + (size_t)v * 3 : pb;
+      const float* qd = (d == u) ? pos + (size_t)v * 3 : pd;
+      nrm(qa, qb, qd, n1);
+      if (n0[0] * n1[0] + n0[1] * n1[1] + n0[2] * n1[2] <= 0) {
+        flip = true;
+        break;
+      }
+    }
+    if (flip) continue;
+
+    // Commit: u merges into v.
+    remap[u] = v;
+    vq[v].add(vq[u]);
+    gen[v]++;
+    worst = std::max(worst, c.err);
+    for (int t : vtris[u]) {
+      if (tri_dead[t]) continue;
+      int* tv = &tri[t * 3];
+      for (int k = 0; k < 3; ++k)
+        if (tv[k] == u) tv[k] = v;
+      if (tv[0] == tv[1] || tv[1] == tv[2] || tv[0] == tv[2]) {
+        tri_dead[t] = 1;
+        --live;
+      } else {
+        vtris[v].push_back(t);
+      }
+    }
+    vtris[u].clear();
+    // Refresh collapse candidates around v.
+    std::unordered_set<int> nbrs;
+    for (int t : vtris[v]) {
+      if (tri_dead[t]) continue;
+      for (int k = 0; k < 3; ++k) {
+        int w = tri[t * 3 + k];
+        if (w != v) nbrs.insert(w);
+      }
+    }
+    for (int w : nbrs) {
+      push_edge(w, v);
+      push_edge(v, w);
+    }
+  }
+
+  int out = 0;
+  for (int t = 0; t < n_tris; ++t) {
+    if (tri_dead[t]) continue;
+    for (int k = 0; k < 3; ++k) out_indices[out * 3 + k] = tri[t * 3 + k];
+    ++out;
+  }
+  if (out_error) *out_error = (float)std::sqrt(std::max(worst, 0.0));
+  return out;
 }
 
 }  // extern "C"

@@ -79,6 +79,10 @@ def get_lib():
         lib.rt3_build_clusters_sah.restype = c_int
         lib.rt3_split_fragments.argtypes = [fp, fp, fp, c_int, c_int, ip, fp, fp]
         lib.rt3_split_fragments.restype = c_int
+        lib.rt3_simplify.argtypes = [
+            fp, c_int, ip, c_int, c_int, c_float, ip, ctypes.POINTER(c_float),
+        ]
+        lib.rt3_simplify.restype = c_int
         _lib = lib
         return _lib
 
@@ -217,6 +221,33 @@ def decode_normals(enc: np.ndarray) -> np.ndarray:
 
     uv = np.stack([(e & 0xFF) / 255.0, ((e >> 8) & 0xFF) / 255.0], -1)
     return np.asarray(packing.octa_decode(jnp.asarray(uv, jnp.float32)))
+
+
+def simplify(
+    positions: np.ndarray,
+    indices: np.ndarray,
+    target_ratio: float = 0.5,
+    max_error: float = 0.0,
+):
+    """Quadric edge-collapse simplification onto existing vertices (the
+    meshopt demo's `simplify` exercise, src/meshopt/meshopt.rs:559-700;
+    border-locked, normal-flip-guarded). Returns (new_indices [M, 3],
+    rms_error) — vertex buffer is reused unchanged. ``max_error`` > 0 stops
+    early once the next collapse would exceed that quadric error. Returns
+    the input unchanged (error 0.0) without the native lib."""
+    idx = np.ascontiguousarray(indices.reshape(-1, 3), np.int32)
+    lib = get_lib()
+    if lib is None or len(idx) == 0:
+        return idx, 0.0
+    pos = np.ascontiguousarray(positions, np.float32)
+    target = max(0, int(len(idx) * target_ratio))
+    out = np.zeros_like(idx).reshape(-1)
+    err = ctypes.c_float()
+    m = lib.rt3_simplify(
+        pos, len(pos), np.ascontiguousarray(idx.reshape(-1)), len(idx),
+        target, float(max_error), out, ctypes.byref(err),
+    )
+    return out[: m * 3].reshape(-1, 3).copy(), float(err.value)
 
 
 def build_sah_bvh(bmin: np.ndarray, bmax: np.ndarray):

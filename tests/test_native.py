@@ -120,3 +120,42 @@ class TestClusters:
         assert cluster_of.min() >= 0 and cluster_of.max() == cnt - 1
         sizes = np.bincount(cluster_of)
         assert sizes.max() <= 8
+
+
+class TestSimplify:
+    """Quadric edge-collapse simplification (meshopt.rs:559-700 role)."""
+
+    def test_grid_halves_with_zero_planar_error(self, lib_ok):
+        verts, tris = make_grid_mesh(16)
+        out, err = native.simplify(verts, tris, target_ratio=0.5)
+        assert len(out) <= len(tris) * 0.5 + 2
+        assert err < 1e-4  # collapses on a plane are error-free
+        # Valid mesh: in-range indices, no degenerates.
+        assert out.min() >= 0 and out.max() < len(verts)
+        assert (out[:, 0] != out[:, 1]).all()
+        assert (out[:, 1] != out[:, 2]).all()
+        assert (out[:, 0] != out[:, 2]).all()
+        # Area-preserving on a planar patch.
+        v0, v1, v2 = verts[out[:, 0]], verts[out[:, 1]], verts[out[:, 2]]
+        area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1).sum()
+        assert area == pytest.approx(16.0 * 16.0, rel=1e-5)
+
+    def test_border_vertices_locked(self, lib_ok):
+        verts, tris = make_grid_mesh(8)
+        out, _ = native.simplify(verts, tris, target_ratio=0.2)
+        used = set(np.unique(out).tolist())
+        n = 8
+        for corner in (0, n, (n + 1) * n, (n + 1) * (n + 1) - 1):
+            assert corner in used, f"border corner {corner} eroded"
+
+    def test_max_error_budget_stops_early(self, lib_ok):
+        # A cube-ish box mesh: collapsing across edges has real error, so a
+        # tiny budget must refuse most collapses.
+        verts, tris = make_grid_mesh(8)
+        bumpy = verts.copy()
+        # Doubly-curved sheet: every interior collapse has real error (a
+        # single-axis wave leaves error-free collapses along the other axis).
+        bumpy[:, 2] = np.sin(bumpy[:, 0]) * np.sin(bumpy[:, 1]) * 2.0
+        out_tight, _ = native.simplify(bumpy, tris, 0.05, max_error=1e-8)
+        out_loose, _ = native.simplify(bumpy, tris, 0.05, max_error=0.0)
+        assert len(out_tight) > len(out_loose)
