@@ -445,6 +445,14 @@ def _nee_contribution(
         scene, hit_pos, normal, wo_world, surface, u3, sampler, settings,
         alive_mask=alive_mask,
     )
+    # Lane diet (settings.lane_diet): contrib is the only [N,3] of this
+    # function's own state live across the shadow launch — rgb9e5-pack it
+    # (render/wavefront._diet_pack for the mechanism).
+    from raytracer3_tpu.render import wavefront as _wf_diet
+
+    shadow_o, diet_packed = _wf_diet._diet_pack(
+        settings.lane_diet, shadow_o, contrib
+    )
     if sort_shadow:
         # Coherence-sort the shadow batch into the traversal and scatter the
         # occlusion bits back — the queue itself stays in pixel order (see
@@ -463,6 +471,9 @@ def _nee_contribution(
     else:
         blocked = occluded_fn(shadow_o, wi_world, t_shadow)
 
+    (contrib,) = _wf_diet._diet_unpack(
+        settings.lane_diet, blocked, diet_packed
+    )
     ok = pre_ok & ~blocked
     li_out = jnp.where(ok[:, None], contrib, 0.0)
     if return_count:

@@ -133,6 +133,36 @@ def sorted_trace(
     )
 
 
+def _diet_pack(diet: bool, launch_in, *cols):
+    """Lane-state diet half 1 (settings.lane_diet): rgb9e5-pack non-negative
+    color state so only 1 u32/lane per value stays live across the traversal
+    launch (3 f32 would otherwise be held — ~12 B/lane each; the sponza720
+    32-spp OOM was 593 MB of exactly such temps). The launch input is tied
+    through an optimization_barrier so XLA cannot hoist the launch above the
+    packs (which would keep the f32 versions alive anyway).
+
+    Returns (launch_in, packed_cols)."""
+    if not diet:
+        return launch_in, cols
+    from raytracer3_tpu.ops import packing
+
+    packed = tuple(packing.pack_rgb9e5(c) for c in cols)
+    tied = jax.lax.optimization_barrier((launch_in,) + packed)
+    return tied[0], tied[1:]
+
+
+def _diet_unpack(diet: bool, anchor, cols):
+    """Half 2: unpack after the launch, anchored on a launch OUTPUT through
+    an optimization_barrier so XLA cannot sink the unpacks above the launch
+    (which would resurrect the f32 liveness the pack removed)."""
+    if not diet:
+        return cols
+    from raytracer3_tpu.ops import packing
+
+    tied = jax.lax.optimization_barrier(tuple(cols) + (anchor,))
+    return tuple(packing.unpack_rgb9e5(c) for c in tied[:-1])
+
+
 def trace_wavefront(
     scene: scene_types.Scene,
     intersect_fn: pathtracer.IntersectFn,
@@ -249,14 +279,23 @@ def trace_wavefront(
                 shadow = (sh_o, sh_d, sh_t, pre_ok, contrib)
                 n_shadow = jnp.sum(pre_ok.astype(jnp.int32))
             else:
+                # Lane diet around the shadow launch inside _nee_contribution
+                # (which also packs its own contrib): anchor the unpack on
+                # li so XLA cannot resurrect the f32 state mid-launch.
+                _, packed = _diet_pack(
+                    settings.lane_diet, hit_pos, radiance, q.throughput
+                )
                 li, sampler, n_shadow = pathtracer._nee_contribution(
                     scene, occluded_fn, hit_pos, nrm, -q.direction, surface,
                     u_l, sampler, settings, alive_mask=q.alive,
                     sort_shadow=sort_rays, sort_bounds=sort_bounds,
                     return_count=True,
                 )
+                radiance, q_throughput = _diet_unpack(
+                    settings.lane_diet, li, packed
+                )
                 radiance = radiance + jnp.where(
-                    q.alive[:, None], q.throughput * li, 0.0
+                    q.alive[:, None], q_throughput * li, 0.0
                 )
 
         # BRDF sample.
@@ -291,6 +330,7 @@ def trace_wavefront(
         # packets fail the root AABB test immediately — with alive-first
         # sorting, fully-dead packets cost one traversal iteration.
         alive_at_trace = alive
+        diet = settings.lane_diet
         park = jnp.where(alive[:, None], hit_pos, 1e30)
         if tail_any:
             # ONE any-hit launch: [final NEE shadow batch ; escape probes].
@@ -303,14 +343,24 @@ def trace_wavefront(
                 o2 = jnp.concatenate([sh_o, park], axis=0)
                 d2 = jnp.concatenate([sh_d, new_dir], axis=0)
                 cap2 = jnp.concatenate([sh_t, bg])
+                o2, packed = _diet_pack(
+                    diet, o2, radiance, q.throughput, contrib, throughput
+                )
                 blocked2 = occluded_fn(o2, d2, cap2)
+                radiance, q_throughput, contrib, throughput = _diet_unpack(
+                    diet, blocked2, packed
+                )
                 ok = pre_ok & ~blocked2[:m]
                 radiance = radiance + jnp.where(
-                    (q.alive & ok)[:, None], q.throughput * contrib, 0.0
+                    (q.alive & ok)[:, None], q_throughput * contrib, 0.0
                 )
                 hit_bit = blocked2[m:]
             else:
+                park, packed = _diet_pack(diet, park, radiance, throughput)
                 hit_bit = occluded_fn(park, new_dir, bg)
+                radiance, throughput = _diet_unpack(
+                    diet, hit_bit, packed
+                )
             h = intersect.Hit(
                 t=bg,
                 uv=jnp.zeros((m, 2), jnp.float32),
@@ -335,17 +385,27 @@ def trace_wavefront(
             ah2 = jnp.concatenate(
                 [jnp.ones((m,), bool), jnp.zeros((m,), bool)]
             )
+            o2, packed = _diet_pack(
+                diet, o2, radiance, q.throughput, contrib, throughput
+            )
             h2 = fused_fn(o2, d2, cap2, ah2)
+            radiance, q_throughput, contrib, throughput = _diet_unpack(
+                diet, h2.t, packed
+            )
             blocked = h2.hit[:m]
             h = jax.tree.map(lambda a: a[m:], h2)
             ok = pre_ok & ~blocked
             radiance = radiance + jnp.where(
-                (q.alive & ok)[:, None], q.throughput * contrib, 0.0
+                (q.alive & ok)[:, None], q_throughput * contrib, 0.0
             )
         elif sort_rays:
+            park, packed = _diet_pack(diet, park, radiance, throughput)
             h = sorted_trace(intersect_fn, park, new_dir, alive, sort_bounds)
+            radiance, throughput = _diet_unpack(diet, h.t, packed)
         else:
+            park, packed = _diet_pack(diet, park, radiance, throughput)
             h = intersect_fn(park, new_dir)
+            radiance, throughput = _diet_unpack(diet, h.t, packed)
         if use_nee and q_env > 0.0:
             # BRDF-sampled env escape, MIS-weighted against env NEE.
             env, env_pdf = pathtracer._env_radiance_pdf(scene, new_dir)

@@ -52,6 +52,14 @@ class RenderSettings:
     # launch). Needs a backend capped_fn (treelets/bruteforce provide one);
     # silently ignored otherwise. Radiance is bit-compatible either way.
     fuse_shadow: bool = False
+    # Lane-state diet: rgb9e5-pack the non-negative color lane state
+    # (radiance, throughput, NEE contrib) across each bounce's traversal
+    # launches — 3 f32 → 1 u32 per value, ~24 B/lane less HBM live across
+    # the long launch. Unlocks denser sample batches (sponza720@32spp OOMed
+    # by 593 MB of exactly such temps, tools/probe_spp.py). ≤0.5% shared-
+    # exponent rounding per crossing — far below MC noise, but NOT
+    # bit-compatible with the default path (goldens use the default).
+    lane_diet: bool = False
 
     @property
     def n_pixels(self) -> int:

@@ -305,3 +305,59 @@ class TestSampleBatch:
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
         )
+
+
+class TestLaneDiet:
+    """settings.lane_diet: rgb9e5-packed color state across traversal
+    launches — must match the default path to shared-exponent rounding
+    (≤0.5% per crossing; NOT bit-compatible by design)."""
+
+    @pytest.mark.parametrize("sort_rays", [False, True])
+    def test_matches_default_within_rounding(self, setup, sort_rays):
+        import dataclasses
+
+        scene, cam, isect, occl = setup
+        s = RenderSettings(
+            width=RES, height=RES, bounces=3, samples=1, diffuse_only=True
+        )
+        a = np.asarray(
+            wavefront.render_frame(
+                scene, cam, s, 5, isect, occl, sort_rays=sort_rays
+            )
+        )
+        b = np.asarray(
+            wavefront.render_frame(
+                scene, cam, dataclasses.replace(s, lane_diet=True), 5,
+                isect, occl, sort_rays=sort_rays,
+            )
+        )
+        # Same sampler draws, same occlusion bits; only color rounding
+        # differs (a few crossings × 2^-9 shared-exponent steps).
+        np.testing.assert_allclose(a, b, rtol=0.02, atol=2e-3)
+        assert np.abs(a - b).max() > 0.0 or a.max() == 0.0  # diet is active
+
+    def test_fused_and_tail_paths(self, setup):
+        import dataclasses
+
+        scene, cam, isect, occl = setup
+        backend = intersect.brute_backend(scene=scene)
+
+        def capped(o, d, t, anyhit=None):
+            return backend.capped_fn(backend.arrays, o, d, t, anyhit)
+
+        s = RenderSettings(
+            width=RES, height=RES, bounces=3, samples=1, diffuse_only=True,
+            fuse_shadow=True,
+        )
+        a = np.asarray(
+            wavefront.render_frame(
+                scene, cam, s, 3, isect, occl, fused_fn=capped
+            )
+        )
+        b = np.asarray(
+            wavefront.render_frame(
+                scene, cam, dataclasses.replace(s, lane_diet=True), 3,
+                isect, occl, fused_fn=capped,
+            )
+        )
+        np.testing.assert_allclose(a, b, rtol=0.02, atol=2e-3)
