@@ -176,6 +176,7 @@ def render_wavefront_tiled(
     axis: str = "tiles",
     sort_rays: bool = False,
     capped_fn=None,
+    return_stats: bool = False,
 ) -> jax.Array:
     """The PRODUCTION wavefront renderer sharded row-wise over the mesh:
     each chip owns an image-row block, builds its ray queue from global pixel
@@ -188,6 +189,9 @@ def render_wavefront_tiled(
     fn(arrays, o, d[, t_max]) with `arrays` the backend's table pytree.
     capped_fn (TraceBackend.capped_fn) + settings.fuse_shadow enables the
     fused shadow+bounce launch per bounce (render/wavefront.py fused_fn).
+    return_stats=True additionally returns the per-shard measured traced-ray
+    counts [n_dev] — the load-balance evidence for the tile sharding
+    (dryrun_multichip asserts the shards stay within a small spread).
     """
     from raytracer3_tpu.render import wavefront
 
@@ -230,7 +234,7 @@ def render_wavefront_tiled(
             if (capped_fn is not None and settings.fuse_shadow)
             else None
         )
-        q, _traced = wavefront.trace_wavefront(
+        q, traced = wavefront.trace_wavefront(
             scene_, isect, q, sampler, settings, occl, sort_rays,
             fused_fn=fused,
         )
@@ -239,13 +243,16 @@ def render_wavefront_tiled(
             radiance = jnp.minimum(radiance, settings.radiance_clamp)
         env = pathtracer._sample_env(scene_, d)
         radiance = radiance + jnp.where(~hit0.hit[:, None], env, 0.0)
-        return radiance.reshape(hs, w, 3)
+        out = radiance.reshape(hs, w, 3)
+        if return_stats:
+            return out, (traced + jnp.int32(n))[None]  # + primaries
+        return out
 
     shard = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis), P(), P()),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)) if return_stats else P(axis),
         check_vma=False,
     )
     return shard(pix, backend_arrays, scene)
