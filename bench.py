@@ -129,6 +129,9 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces,
         width=width, height=height, bounces=bounces, samples=samples,
         sample_batch=samples > 1, radiance_clamp=50.0,
         fuse_shadow=fuse_shadow,
+        # Lane-state diet (rgb9e5-packed color state across launches):
+        # opt-in via env until the on-chip A/B lands (tools/probe_spp.py).
+        lane_diet=os.environ.get("RT3_LANE_DIET", "0") == "1",
     )
     blue_noise = jnp.asarray(rng_mod.generate_blue_noise(64))
 

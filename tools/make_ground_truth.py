@@ -39,38 +39,62 @@ RES_DIR = os.path.join(
 
 
 def render_reference(scene, tris, cam, width, height, bounces, spp,
-                     batch=8, seed0=0):
+                     batch=8, seed0=0, cpu=False):
     """Accumulate `spp` reference-mode samples (render_image loops `samples`
-    inside one jit; frames decorrelate via the frame index)."""
+    inside one jit; frames decorrelate via the frame index).
+
+    cpu=True forces the CPU platform + the device-LBVH backend instead of
+    the Pallas packet kernel — the oracle-sized config is CPU-feasible,
+    keeping artifact generation independent of the (sometimes wedged)
+    tunnel."""
     import jax
     import jax.numpy as jnp
 
-    from raytracer3_tpu.ops.pallas import traverse_kernel as tk
     from raytracer3_tpu.render import pathtracer
     from raytracer3_tpu.utils import runtime
     from raytracer3_tpu.utils.config import RenderSettings
 
-    backend = tk.packet_backend(host_tris=tris)
     settings = RenderSettings(
         width=width, height=height, bounces=bounces, samples=batch,
         radiance_clamp=50.0,
     )
+    if cpu:
+        from raytracer3_tpu.ops import traverse
 
-    @jax.jit
-    def frame(scene_, bvh, fi):
-        isect, occl = backend.bind(bvh)
-        return pathtracer.render_image(
-            scene_, cam, settings, fi, isect, occl
-        )
+        isect_c, occl_c, _ = traverse.make_bvh_backend(scene)
+
+        @jax.jit
+        def frame_cpu(scene_, fi):
+            return pathtracer.render_image(
+                scene_, cam, settings, fi, isect_c, occl_c
+            )
+
+        def run(fi):
+            return frame_cpu(scene, fi)
+    else:
+        from raytracer3_tpu.ops.pallas import traverse_kernel as tk
+
+        backend = tk.packet_backend(host_tris=tris)
+
+        @jax.jit
+        def frame_tpu(scene_, bvh, fi):
+            isect, occl = backend.bind(bvh)
+            return pathtracer.render_image(
+                scene_, cam, settings, fi, isect, occl
+            )
+
+        def run(fi):
+            return frame_tpu(scene, backend.arrays, fi)
 
     total = np.zeros((height, width, 3), np.float64)
     n_frames = max(1, spp // batch)
     for i in range(n_frames):
-        img = frame(scene, backend.arrays, jnp.uint32(seed0 + i))
+        img = run(jnp.uint32(seed0 + i))
         total += np.asarray(
             runtime.pull_guarded(img, timeout=2400.0, what=f"gt frame {i}")
         )
-        print(f"  frame {i + 1}/{n_frames}", file=sys.stderr, flush=True)
+        if (i + 1) % 8 == 0 or i + 1 == n_frames:
+            print(f"  frame {i + 1}/{n_frames}", file=sys.stderr, flush=True)
     return (total / n_frames).astype(np.float32)
 
 
@@ -79,7 +103,16 @@ def main(argv=None) -> int:
     ap.add_argument("--spp", type=int, default=512)
     ap.add_argument("--skip-720", action="store_true")
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU platform + LBVH backend (oracle only; the 720p "
+        "showcase stays TPU-tier)",
+    )
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import bench
 
@@ -95,7 +128,8 @@ def main(argv=None) -> int:
         scene, tris = procedural.atrium_scene(detail=2, return_host=True)
         cam = procedural.atrium_camera(aspect=192 / 108)
         img = render_reference(
-            scene, tris, cam, 192, 108, bounces=4, spp=args.spp
+            scene, tris, cam, 192, 108, bounces=4, spp=args.spp,
+            cpu=args.cpu,
         )
         np.savez_compressed(
             os.path.join(RES_DIR, "oracle_atrium_192x108.npz"),
