@@ -130,8 +130,12 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces,
         sample_batch=samples > 1, radiance_clamp=50.0,
         fuse_shadow=fuse_shadow,
         # Lane-state diet (rgb9e5-packed color state across launches):
-        # opt-in via env until the on-chip A/B lands (tools/probe_spp.py).
-        lane_diet=os.environ.get("RT3_LANE_DIET", "0") == "1",
+        # default ON for sample-batched configs — it is what lets
+        # sponza720 ride 32 spp (round-3 OOM'd by 593 MB; A/B 2026-08-20:
+        # 16-spp overhead within run noise, 32 spp runs at 1.94 spp/s).
+        lane_diet=os.environ.get(
+            "RT3_LANE_DIET", "1" if samples > 1 else "0"
+        ) == "1",
     )
     blue_noise = jnp.asarray(rng_mod.generate_blue_noise(64))
 
@@ -399,9 +403,9 @@ def main() -> None:
         # Cost model priors (measured round 3/4, cold-compile worst case;
         # warm cache makes compile ~free). ~0.55 s/spp at 720p, ~2.2 at
         # 1080p.
-        # Ladder top is what HBM fits (32 OOMs pre-lane-diet; bump via env
-        # once the diet lands — tools/probe_spp.py outcome).
-        max720 = int(os.environ.get("RT3_BENCH_MAX_SPP720", "16"))
+        # Ladder top is what HBM fits: 32 since the lane diet landed
+        # (tools/probe_spp.py 2026-08-20: 16.5 s/frame, 1.94 spp/s).
+        max720 = int(os.environ.get("RT3_BENCH_MAX_SPP720", "32"))
         spp720 = _pick_spp(
             [s for s in (32, 16, 8, 4) if s <= max720],
             per_spp_s=0.6, compile_s=400.0, n_frames=2, share=0.45,

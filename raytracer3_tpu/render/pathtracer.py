@@ -109,6 +109,41 @@ def _env_radiance_pdf(scene: scene_types.Scene, directions: jax.Array):
     return rgb, lum * k
 
 
+def _env_row_consume(row, kc, u3c, he: int, we: int):
+    """Alias-row → (direction, radiance, solid-angle pdf); runs INSIDE the
+    chunked gather so the lane-padded [chunk, 16] buffer dies per chunk
+    (mathx.map_row_gather — the 7.97 GB sponza1080 allocation)."""
+    take_alias = (u3c[:, 1] >= row[:, 0])[:, None]
+    idx = jnp.where(
+        take_alias[:, 0], row[:, 1].astype(jnp.int32), kc
+    )
+    pdf = jnp.where(take_alias[:, 0], row[:, 6], row[:, 2])
+    radiance = jnp.where(take_alias, row[:, 7:10], row[:, 3:6])
+    y = idx // we
+    x = idx % we
+    # Jitter within the texel for a continuous direction (the pdf is
+    # the texel's constant solid-angle pdf). jv reuses the alias-test
+    # uniform, rescaled to its conditional range (uniform again by
+    # construction — deriving it from u3[:, 0] would correlate it with
+    # the texel choice).
+    ju = u3c[:, 2]
+    prob = row[:, 0]
+    jv = jnp.where(
+        take_alias[:, 0],
+        (u3c[:, 1] - prob) / jnp.maximum(1.0 - prob, 1e-9),
+        u3c[:, 1] / jnp.maximum(prob, 1e-9),
+    )
+    jv = jnp.clip(jv, 0.0, 0.999999)
+    uv = jnp.stack(
+        [
+            (x.astype(jnp.float32) + ju) / we,
+            (y.astype(jnp.float32) + jv) / he,
+        ],
+        axis=-1,
+    )
+    return mathx.equirect_uv_to_direction(uv), radiance, pdf
+
+
 def _sample_env_light(scene: scene_types.Scene, u3: jax.Array):
     """Importance-sample the environment via the alias table: ONE [N, 8]
     gather → (direction, radiance, solid-angle pdf). An upgrade over the
@@ -119,41 +154,12 @@ def _sample_env_light(scene: scene_types.Scene, u3: jax.Array):
     he, we = scene.env_rgbp.shape[0], scene.env_rgbp.shape[1]
     k = jnp.clip((u3[:, 0] * n_tex).astype(jnp.int32), 0, n_tex - 1)
 
-    def consume(row, kc, u3c):
-        # The whole row consumer runs inside the (possibly chunked) gather
-        # so the lane-padded [chunk, 16] buffer dies before the next chunk
-        # (mathx.map_row_gather — the 7.97 GB sponza1080 allocation).
-        take_alias = (u3c[:, 1] >= row[:, 0])[:, None]
-        idx = jnp.where(
-            take_alias[:, 0], row[:, 1].astype(jnp.int32), kc
-        )
-        pdf = jnp.where(take_alias[:, 0], row[:, 6], row[:, 2])
-        radiance = jnp.where(take_alias, row[:, 7:10], row[:, 3:6])
-        y = idx // we
-        x = idx % we
-        # Jitter within the texel for a continuous direction (the pdf is
-        # the texel's constant solid-angle pdf). jv reuses the alias-test
-        # uniform, rescaled to its conditional range (uniform again by
-        # construction — deriving it from u3[:, 0] would correlate it with
-        # the texel choice).
-        ju = u3c[:, 2]
-        prob = row[:, 0]
-        jv = jnp.where(
-            take_alias[:, 0],
-            (u3c[:, 1] - prob) / jnp.maximum(1.0 - prob, 1e-9),
-            u3c[:, 1] / jnp.maximum(prob, 1e-9),
-        )
-        jv = jnp.clip(jv, 0.0, 0.999999)
-        uv = jnp.stack(
-            [
-                (x.astype(jnp.float32) + ju) / we,
-                (y.astype(jnp.float32) + jv) / he,
-            ],
-            axis=-1,
-        )
-        return mathx.equirect_uv_to_direction(uv), radiance, pdf
-
-    return mathx.map_row_gather(tab, k, consume, extras=(k, u3))
+    return mathx.map_row_gather(
+        tab,
+        k,
+        lambda row, kc, u3c: _env_row_consume(row, kc, u3c, he, we),
+        extras=(k, u3),
+    )
 
 
 def _face_forward(normal: jax.Array, wo_world: jax.Array) -> jax.Array:
@@ -311,6 +317,85 @@ def _nee_prepare(
     backfacing samples have pre_ok False and shadow_o parked at 1e30."""
     em = scene.emissive
     has_area = int(em.tri_ids.shape[0]) > 0
+    q_env_early = _env_mix_q(scene)
+    if (
+        has_area
+        and q_env_early > 0.0
+        and em.light_table is not None
+        and scene.env_sample_table is not None
+    ):
+        # FUSED mixture: area-light row and env alias row fetched in ONE
+        # row gather from a concatenated table. Row gathers price by row
+        # count (~15 ns/row, tools/probe_driver.py) — at 33M lanes the
+        # split path's two [N, 16] gathers cost ~1 s/bounce; the fused one
+        # halves that. Each lane picks its source first (u_sel), then one
+        # row is fetched and interpreted per-branch inside the chunk.
+        u_env, sampler = sampler.next3()
+        u_sel, sampler = sampler.next1()
+        choose_env = u_sel < q_env_early
+        li = jnp.clip(
+            jnp.searchsorted(em.cdf, u3[:, 0:1]).reshape(-1),
+            0,
+            em.tri_ids.shape[0] - 1,
+        )
+        tab = scene.env_sample_table
+        n_light = em.light_table.shape[0]
+        n_tex = tab.shape[0]
+        he, we = scene.env_rgbp.shape[0], scene.env_rgbp.shape[1]
+        k_env = jnp.clip(
+            (u_env[:, 0] * n_tex).astype(jnp.int32), 0, n_tex - 1
+        )
+        combined = jnp.concatenate([em.light_table, tab], axis=0)
+        idx = jnp.where(choose_env, n_light + k_env, li)
+        total_area = em.total_area
+        q_env = q_env_early
+
+        def consume_mix(row, hp, ce, ke, ue, u3c):
+            # Area-light interpretation (v0 e1 e2 le valid):
+            v0 = row[:, 0:3]
+            e1 = row[:, 3:6]
+            e2 = row[:, 6:9]
+            le_a = row[:, 9:12]
+            su = jnp.sqrt(jnp.maximum(u3c[:, 1:2], 0.0))
+            b0 = 1.0 - su
+            b1 = u3c[:, 2:3] * su
+            b2 = 1.0 - b0 - b1
+            p = v0 + e1 * b1 + e2 * b2
+            to_l = p - hp
+            dist2 = jnp.sum(to_l * to_l, axis=-1, keepdims=True)
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+            wi_a = to_l / dist
+            l_nrm = mathx.normalize(jnp.cross(e1, e2))
+            cos_l = jnp.abs(jnp.sum(l_nrm * -wi_a, axis=-1))
+            pdf_a = dist2[:, 0] / jnp.maximum(cos_l * total_area, 1e-20)
+            valid_a = (
+                (row[:, 12] > 0.5) & (cos_l > 1e-6) & (pdf_a > 0.0)
+            )
+            t_a = dist[:, 0] * (1.0 - 1e-3)
+            # Env alias interpretation (prob alias pdf rgb pdf' rgb'):
+            wi_e, le_e, pdf_e = _env_row_consume(row, ke, ue, he, we)
+            ce3 = ce[:, None]
+            return (
+                jnp.where(ce3, wi_e, wi_a),
+                jnp.where(ce3, le_e, le_a),
+                jnp.where(ce, q_env * pdf_e, (1.0 - q_env) * pdf_a),
+                jnp.where(ce, pdf_e > 0.0, valid_a),
+                jnp.where(ce, mathx.BACKGROUND_DEPTH * 0.9, t_a),
+            )
+
+        wi_world, le_sel, pdf_sel, valid_sel, t_shadow = (
+            mathx.map_row_gather(
+                combined,
+                idx,
+                consume_mix,
+                extras=(hit_pos, choose_env, k_env, u_env, u3),
+            )
+        )
+        return _nee_finish(
+            scene, hit_pos, normal, wo_world, surface, settings,
+            alive_mask, wi_world, le_sel, pdf_sel, valid_sel, t_shadow,
+            sampler,
+        )
     if has_area:
         # Pick a light triangle by area CDF.
         li = jnp.searchsorted(em.cdf, u3[:, 0:1]).reshape(-1)
@@ -392,6 +477,18 @@ def _nee_prepare(
             choose_env, mathx.BACKGROUND_DEPTH * 0.9, t_shadow
         )
 
+    return _nee_finish(
+        scene, hit_pos, normal, wo_world, surface, settings, alive_mask,
+        wi_world, le_sel, pdf_sel, valid_sel, t_shadow, sampler,
+    )
+
+
+def _nee_finish(
+    scene, hit_pos, normal, wo_world, surface, settings, alive_mask,
+    wi_world, le_sel, pdf_sel, valid_sel, t_shadow, sampler,
+):
+    """Shared NEE tail: BRDF evaluation toward the sampled light direction,
+    balance-heuristic MIS weight, validity mask, and shadow-ray setup."""
     cos_s = mathx.dot(normal, wi_world, keepdims=False)
 
     onb = mathx.build_orthonormal_basis(normal)
