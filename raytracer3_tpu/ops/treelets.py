@@ -42,6 +42,10 @@ from raytracer3_tpu.ops import intersect, mathx
 
 _BG = mathx.BACKGROUND_DEPTH
 GROUP_ROWS = 8
+# Max segments per pallas_call (SMEM scalar-prefetch ceiling; see
+# _run_segments). 256 = the largest count a working config has used
+# (sponza1080@16spp, 255 segments at 1024 sublanes) rounded up.
+SEG_LAUNCH_CHUNK = 256
 
 
 class TreeletTables(NamedTuple):
@@ -445,14 +449,40 @@ def _run_segments(
         slot = jax.lax.broadcasted_iota(jnp.int32, seg_gmask.shape, 1)
         seg_gmask = jnp.where(slot < e_cap, seg_gmask, 0)
 
-    return tk.packet_intersect_segments(
-        tt, seg_list, seg_entry, seg_gmask, o, d, cap,
-        t_min=t_min, any_hit=any_hit, interpret=interpret, sublanes=sublanes,
-        stats=stats, half_leaf=half_leaf, div_free=div_free,
-        rank_push=rank_push, anyhit_row=anyhit_row, step_cull=step_cull,
-        tables_hbm=tables_hbm, vmem_limit=vmem_limit, bit_loop=bit_loop,
-        max_groups=max_groups,
-    )
+    def launch(sl, o_, d_, cap_, ah_):
+        return tk.packet_intersect_segments(
+            tt, seg_list[sl], seg_entry[sl], seg_gmask[sl], o_, d_, cap_,
+            t_min=t_min, any_hit=any_hit, interpret=interpret,
+            sublanes=sublanes, stats=stats, half_leaf=half_leaf,
+            div_free=div_free, rank_push=rank_push, anyhit_row=ah_,
+            step_cull=step_cull, tables_hbm=tables_hbm,
+            vmem_limit=vmem_limit, bit_loop=bit_loop, max_groups=max_groups,
+        )
+
+    # SMEM ceiling: the scalar-prefetch arrays (seg_list/entry/gmask) pad
+    # their LAST dim to 128 lanes, so SMEM grows ~1.5 KB/segment — 510
+    # segments (sponza1080@32spp, 66.8M lanes) blew the 1.0 MB budget at
+    # compile (1.50 M needed, 2026-08-20). Segments are independent grid
+    # rows, so launches chunk freely over them: ≤ SEG_LAUNCH_CHUNK segments
+    # per pallas_call, outputs concatenated (the global coherence sort is
+    # untouched — chunking only slices the grid).
+    if s_count > SEG_LAUNCH_CHUNK and not stats:
+        n_chunks = -(-s_count // SEG_LAUNCH_CHUNK)
+        while s_count % n_chunks:
+            n_chunks += 1
+        cs = s_count // n_chunks
+        parts = []
+        for i in range(n_chunks):
+            sl = slice(i * cs, (i + 1) * cs)
+            rs = slice(i * cs * p, (i + 1) * cs * p)
+            parts.append(
+                launch(
+                    sl, o[rs], d[rs], cap[rs],
+                    None if anyhit_row is None else anyhit_row[rs],
+                )
+            )
+        return jnp.concatenate(parts, axis=1)
+    return launch(slice(None), o, d, cap, anyhit_row)
 
 
 def treelet_intersect(

@@ -580,3 +580,36 @@ def test_nearest_first_matches_bruteforce(soup_tt):
     )
     expected = np.asarray(hb.hit) & (np.asarray(hb.t) < tmax)
     np.testing.assert_array_equal(np.asarray(occ.hit), expected)
+
+
+def test_seg_launch_chunking_bit_equal(soup_tt, monkeypatch):
+    """SEG_LAUNCH_CHUNK splits one segment-grid launch into several
+    pallas_calls over segment slices (the SMEM scalar-prefetch ceiling fix,
+    sponza1080@32spp). Segments are independent grid rows, so the chunked
+    launch must be BIT-equal to the single launch."""
+    (v0, v1, v2), tt = soup_tt
+    n = 8 * 128 * 6  # 6 segments at sublanes=8
+    o, d = _rays(n, seed=7)
+    ref = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=8, step_cull=True, half_leaf=True
+    )
+    monkeypatch.setattr(treelets, "SEG_LAUNCH_CHUNK", 2)  # 3 launches
+    chunked = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=8, step_cull=True, half_leaf=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(chunked.t))
+    np.testing.assert_array_equal(
+        np.asarray(ref.prim_id), np.asarray(chunked.prim_id)
+    )
+    # Any-hit path too (per-ray caps).
+    cap = jnp.full((n,), 20.0)
+    occ_ref = treelets.treelet_intersect(
+        tt, o, d, t_max=cap, any_hit=True, interpret=True, sublanes=8
+    )
+    monkeypatch.setattr(treelets, "SEG_LAUNCH_CHUNK", 3)
+    occ_chunked = treelets.treelet_intersect(
+        tt, o, d, t_max=cap, any_hit=True, interpret=True, sublanes=8
+    )
+    np.testing.assert_array_equal(
+        np.asarray(occ_ref.hit), np.asarray(occ_chunked.hit)
+    )

@@ -21,6 +21,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--detail", type=int, default=8)
     ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--samples", type=int, default=4)
+    ap.add_argument("--config", default="both", choices=["both", "sponza1080", "sponza720"])
     args = ap.parse_args()
 
     from bench import run_config, sponza_world_scene
@@ -31,14 +33,17 @@ def main() -> None:
     scene, tris = sponza_world_scene(detail=args.detail)
     cam1080 = procedural.atrium_camera(aspect=1920 / 1088)
     cam720 = procedural.atrium_camera(aspect=1280 / 720)
-    for tag, cam, w, h, b in (
+    configs = [
         ("sponza1080", cam1080, 1920, 1088, 4),
         ("sponza720", cam720, 1280, 720, 2),
-    ):
+    ]
+    if args.config != "both":
+        configs = [c for c in configs if c[0] == args.config]
+    for tag, cam, w, h, b in configs:
         for fuse in (False, True):
             r = run_config(
                 f"{tag}_fuse{int(fuse)}", scene, tris, cam, w, h, b,
-                n_frames=args.frames, samples=4, fuse_shadow=fuse,
+                n_frames=args.frames, samples=args.samples, fuse_shadow=fuse,
             )
             print(json.dumps(r), flush=True)
 
