@@ -136,6 +136,9 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces,
         lane_diet=os.environ.get(
             "RT3_LANE_DIET", "1" if samples > 1 else "0"
         ) == "1",
+        # NEE shadow-ray Russian roulette (opt-in via env until A/B'd):
+        # dim shadow rays are skipped probabilistically, unbiased.
+        nee_rr_threshold=float(os.environ.get("RT3_NEE_RR", "0")),
     )
     blue_noise = jnp.asarray(rng_mod.generate_blue_noise(64))
 

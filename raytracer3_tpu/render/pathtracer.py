@@ -236,6 +236,7 @@ def trace_radiance(
                 li, sampler = _nee_contribution(
                     scene, occluded_fn, hit_pos, nrm, -ray_d, surface, u_l,
                     sampler, settings, alive_mask=alive,
+                    throughput=throughput,
                 )
                 sample_radiance = sample_radiance + jnp.where(
                     alive[:, None], throughput * li, 0.0
@@ -304,6 +305,7 @@ def _nee_prepare(
     sampler: rng.Sampler,
     settings: RenderSettings,
     alive_mask: jax.Array | None = None,
+    throughput: jax.Array | None = None,
 ):
     """Everything of one-sample NEE except the shadow traversal: samples the
     light mixture (area lights by area CDF; alias-sampled env with mixture
@@ -394,7 +396,7 @@ def _nee_prepare(
         return _nee_finish(
             scene, hit_pos, normal, wo_world, surface, settings,
             alive_mask, wi_world, le_sel, pdf_sel, valid_sel, t_shadow,
-            sampler,
+            sampler, throughput=throughput,
         )
     if has_area:
         # Pick a light triangle by area CDF.
@@ -480,15 +482,23 @@ def _nee_prepare(
     return _nee_finish(
         scene, hit_pos, normal, wo_world, surface, settings, alive_mask,
         wi_world, le_sel, pdf_sel, valid_sel, t_shadow, sampler,
+        throughput=throughput,
     )
 
 
 def _nee_finish(
     scene, hit_pos, normal, wo_world, surface, settings, alive_mask,
     wi_world, le_sel, pdf_sel, valid_sel, t_shadow, sampler,
+    throughput=None,
 ):
     """Shared NEE tail: BRDF evaluation toward the sampled light direction,
-    balance-heuristic MIS weight, validity mask, and shadow-ray setup."""
+    balance-heuristic MIS weight, validity mask, and shadow-ray setup.
+
+    With settings.nee_rr_threshold > 0 and `throughput` given, shadow rays
+    whose unshadowed radiance increment is dim are Russian-rouletted
+    (traced with p = lum/threshold, contrib scaled 1/p — unbiased): parked
+    lanes cost ~nothing in the sorted any-hit launch, and shadow traversal
+    is the single biggest slice of the sponza1080 frame."""
     cos_s = mathx.dot(normal, wi_world, keepdims=False)
 
     onb = mathx.build_orthonormal_basis(normal)
@@ -509,12 +519,26 @@ def _nee_finish(
     pre_ok = valid_sel & (cos_s > 0.0)
     if alive_mask is not None:
         pre_ok = pre_ok & alive_mask
-    shadow_o = jnp.where(pre_ok[:, None], hit_pos + normal * 1e-3, 1e30)
     contrib = (
         ev.value
         * le_sel
         * (cos_s * mis_w / jnp.maximum(pdf_sel, 1e-20))[:, None]
     )
+    if settings.nee_rr_threshold > 0.0 and throughput is not None:
+        # Contribution-proportional survival; p floored at 0.05 so the
+        # 1/p amplification (and its variance) stays bounded ≤ 20× — the
+        # radiance_clamp then caps any surviving outlier.
+        inc = jnp.maximum(
+            0.2126 * contrib[:, 0] * throughput[:, 0]
+            + 0.7152 * contrib[:, 1] * throughput[:, 1]
+            + 0.0722 * contrib[:, 2] * throughput[:, 2],
+            0.0,
+        )
+        p = jnp.clip(inc / settings.nee_rr_threshold, 0.05, 1.0)
+        u_rr, sampler = sampler.next1()
+        pre_ok = pre_ok & (u_rr < p)
+        contrib = contrib / p[:, None]
+    shadow_o = jnp.where(pre_ok[:, None], hit_pos + normal * 1e-3, 1e30)
     return shadow_o, wi_world, t_shadow, pre_ok, contrib, sampler
 
 
@@ -532,6 +556,7 @@ def _nee_contribution(
     sort_shadow: bool = False,
     sort_bounds=None,
     return_count: bool = False,
+    throughput: jax.Array | None = None,
 ):
     """_nee_prepare + the shadow traversal: one-sample NEE radiance.
 
@@ -540,7 +565,7 @@ def _nee_contribution(
     with invalid/backfacing samples are parked and cost ~nothing."""
     shadow_o, wi_world, t_shadow, pre_ok, contrib, sampler = _nee_prepare(
         scene, hit_pos, normal, wo_world, surface, u3, sampler, settings,
-        alive_mask=alive_mask,
+        alive_mask=alive_mask, throughput=throughput,
     )
     # Lane diet (settings.lane_diet): contrib is the only [N,3] of this
     # function's own state live across the shadow launch — rgb9e5-pack it

@@ -263,6 +263,7 @@ def trace_wavefront(
                     pathtracer._nee_prepare(
                         scene, hit_pos, nrm, -q.direction, surface, u_l,
                         sampler, settings, alive_mask=q.alive,
+                        throughput=q.throughput,
                     )
                 )
                 shadow = (sh_o, sh_d, sh_t, pre_ok, contrib)
@@ -274,6 +275,7 @@ def trace_wavefront(
                     pathtracer._nee_prepare(
                         scene, hit_pos, nrm, -q.direction, surface, u_l,
                         sampler, settings, alive_mask=q.alive,
+                        throughput=q.throughput,
                     )
                 )
                 shadow = (sh_o, sh_d, sh_t, pre_ok, contrib)
@@ -289,7 +291,7 @@ def trace_wavefront(
                     scene, occluded_fn, hit_pos, nrm, -q.direction, surface,
                     u_l, sampler, settings, alive_mask=q.alive,
                     sort_shadow=sort_rays, sort_bounds=sort_bounds,
-                    return_count=True,
+                    return_count=True, throughput=q.throughput,
                 )
                 radiance, q_throughput = _diet_unpack(
                     settings.lane_diet, li, packed

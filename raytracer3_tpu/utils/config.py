@@ -52,6 +52,13 @@ class RenderSettings:
     # launch). Needs a backend capped_fn (treelets/bruteforce provide one);
     # silently ignored otherwise. Radiance is bit-compatible either way.
     fuse_shadow: bool = False
+    # NEE shadow-ray Russian roulette: shadow rays whose UNSHADOWED
+    # radiance increment (throughput × contrib luminance) falls below this
+    # threshold are traced with probability p = lum/threshold and their
+    # contribution scaled 1/p — unbiased, trades bounded extra variance on
+    # dim paths for skipped any-hit traversals (shadow traversal is ~38%
+    # of the sponza1080 frame). 0 disables (default; goldens use 0).
+    nee_rr_threshold: float = 0.0
     # Lane-state diet: rgb9e5-pack the non-negative color lane state
     # (radiance, throughput, NEE contrib) across each bounce's traversal
     # launches — 3 f32 → 1 u32 per value, ~24 B/lane less HBM live across

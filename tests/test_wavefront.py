@@ -361,3 +361,42 @@ class TestLaneDiet:
             )
         )
         np.testing.assert_allclose(a, b, rtol=0.02, atol=2e-3)
+
+
+class TestNeeShadowRR:
+    """settings.nee_rr_threshold: contribution-proportional Russian
+    roulette on NEE shadow rays — unbiased (survivors scale 1/p), so the
+    mean image must match the default path statistically while tracing
+    fewer shadow lanes."""
+
+    def test_unbiased_and_traces_fewer(self, setup):
+        import dataclasses
+
+        scene, cam, isect, occl = setup
+        s0 = RenderSettings(
+            width=RES, height=RES, bounces=3, samples=2, diffuse_only=True,
+            radiance_clamp=50.0,
+        )
+        s1 = dataclasses.replace(s0, nee_rr_threshold=0.05)
+
+        def run(s):
+            f = jax.jit(
+                lambda fi: wavefront.render_frame(
+                    scene, cam, s, fi, isect, occl, return_stats=True
+                )
+            )
+            imgs, rays = [], 0
+            for i in range(30):
+                img, traced = f(jnp.uint32(i))
+                imgs.append(np.asarray(img))
+                rays += int(traced)
+            return np.mean(imgs, axis=0), rays
+
+        a, rays_a = run(s0)
+        b, rays_b = run(s1)
+        # Fewer lanes actually traverse (dim shadow rays parked).
+        assert rays_b < rays_a * 0.98, (rays_b, rays_a)
+        # Unbiased: means agree within MC tolerance on stable pixels.
+        mask = (a.max(-1) < 3) & (b.max(-1) < 3)
+        assert mask.sum() > 100
+        assert abs(a[mask].mean() - b[mask].mean()) / a[mask].mean() < 0.05
