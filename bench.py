@@ -457,10 +457,7 @@ def main() -> None:
     # on the north-star scene: 314.9 ms/frame single-chip (3.18 fps;
     # ideal v5e-8 projection 25.4 fps — near the ≥30 fps north star),
     # 2026-08-20. Progressive PT stays the ground-truth mode.
-    probe_runs = [
-        ("probe_gi", scene, tris, cam, 960, 544, False),
-        ("hybrid_gi", scene, tris, cam, 960, 544, True),
-    ]
+    probe_runs = []
     try:
         probe_runs += [
             ("sponza720_probe_gi", big_scene, big_tris, cam720, 1280, 720,
@@ -470,6 +467,10 @@ def main() -> None:
         ]
     except NameError:
         pass  # sponza scene build failed earlier; small-scene probes only
+    probe_runs += [
+        ("probe_gi", scene, tris, cam, 960, 544, False),
+        ("hybrid_gi", scene, tris, cam, 960, 544, True),
+    ]
     for tag, sc, tr, cm, w, h, hybrid in probe_runs:
         if _remaining() < 120.0:
             em.fail(tag, TimeoutError("skipped: bench budget spent"))
