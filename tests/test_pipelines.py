@@ -67,3 +67,52 @@ class TestProbePipeline:
             display, state = step(state, cam=cam, frame_index=jnp.uint32(i))
         assert np.isfinite(np.asarray(display)).all()
         assert float(jnp.max(state["probe_atlas"])) > 0.0
+
+
+class TestPipelineKnobs:
+    def test_probe_pipeline_proberng_debug(self, setup):
+        """The proberng debug view (GConst.proberng parity) must produce a
+        finite display through the same compiled step."""
+        import dataclasses
+
+        scene, cam, isect, occl = setup
+        s = RenderSettings(
+            width=16, height=16, bounces=1, samples=1,
+            probe_spacing=8, probe_res=4, proberng=True,
+        )
+        step, init = pipelines.probe_gi_pipeline(
+            scene, s, intersect_fn=isect, occluded_fn=occl
+        )
+        disp, _ = step(init(), cam=cam, frame_index=jnp.uint32(0))
+        d = np.asarray(disp)
+        assert np.isfinite(d).all()
+
+    def test_wavefront_pipeline_full_brdf_and_clamp(self, setup):
+        """Non-diffuse shading + firefly clamp through the pipeline step."""
+        scene, cam, isect, occl = setup
+        s = RenderSettings(
+            width=16, height=16, bounces=2, samples=1,
+            diffuse_only=False, radiance_clamp=10.0,
+        )
+        step, init = pipelines.wavefront_pipeline(scene, s, isect, occl)
+        state = init()
+        for i in range(2):
+            disp, state = step(state, cam=cam, frame_index=jnp.uint32(i))
+        d = np.asarray(disp)
+        assert np.isfinite(d).all() and d.max() <= 1.3
+
+    def test_hybrid_pipeline_state_advances(self, setup):
+        scene, cam, isect, occl = setup
+        s = RenderSettings(
+            width=16, height=16, bounces=1, samples=1,
+            probe_spacing=8, probe_res=4,
+        )
+        step, init = pipelines.hybrid_gi_pipeline(
+            scene, s, intersect_fn=isect, occluded_fn=occl
+        )
+        state = init()
+        d0, state = step(state, cam=cam, frame_index=jnp.uint32(0))
+        d1, state = step(state, cam=cam, frame_index=jnp.uint32(1))
+        assert np.isfinite(np.asarray(d1)).all()
+        # Temporal accumulation: successive frames differ (new samples).
+        assert not np.array_equal(np.asarray(d0), np.asarray(d1))

@@ -37,3 +37,26 @@ class TestTiledOrder:
             wavefront.render_frame(scene, cam, s, 3, isect, None, tile_primaries=True)
         )
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestTileFallbacks:
+    def test_non_divisible_sizes_fall_back(self):
+        from raytracer3_tpu.render import wavefront
+
+        # Prime-ish dims: no tile divides → pick_tile None → raster order.
+        assert wavefront.pick_tile(17, 13) is None
+        # Mixed: width divides, height doesn't.
+        assert wavefront.pick_tile(128, 13) is None
+        assert wavefront.pick_tile(17, 64) is None
+
+    def test_tile_order_covers_every_pixel_odd_aspect(self):
+        import numpy as np
+
+        from raytracer3_tpu.render import wavefront
+
+        w, h = 192, 32  # extreme aspect; 64-wide tiles don't divide 192? 192/64=3 ok
+        tile = wavefront.pick_tile(w, h)
+        assert tile is not None
+        pix = np.asarray(wavefront.tiled_pixel_order(w, h, *tile))
+        flat = pix[:, 1] * w + pix[:, 0]
+        assert np.array_equal(np.sort(flat), np.arange(w * h))
