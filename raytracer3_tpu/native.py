@@ -232,14 +232,17 @@ def simplify(
     """Quadric edge-collapse simplification onto existing vertices (the
     meshopt demo's `simplify` exercise, src/meshopt/meshopt.rs:559-700;
     border-locked, normal-flip-guarded). Returns (new_indices [M, 3],
-    rms_error) — vertex buffer is reused unchanged. ``max_error`` > 0 stops
-    early once the next collapse would exceed that quadric error. Returns
-    the input unchanged (error 0.0) without the native lib."""
+    max_collapse_error) — vertex buffer is reused unchanged. The error is
+    sqrt(worst single-collapse quadric error), a MAX metric (not an RMS):
+    tune ``max_error`` against the worst collapse you will accept.
+    ``max_error`` > 0 stops early once the next collapse would exceed that
+    quadric error. Returns the input unchanged (error 0.0) without the
+    native lib."""
     idx = np.ascontiguousarray(indices.reshape(-1, 3), np.int32)
     lib = get_lib()
     if lib is None or len(idx) == 0:
         return idx, 0.0
-    pos = np.ascontiguousarray(positions, np.float32)
+    pos = np.ascontiguousarray(positions, np.float32).reshape(-1, 3)
     target = max(0, int(len(idx) * target_ratio))
     out = np.zeros_like(idx).reshape(-1)
     err = ctypes.c_float()

@@ -466,22 +466,36 @@ def _run_segments(
     # rows, so launches chunk freely over them: ≤ SEG_LAUNCH_CHUNK segments
     # per pallas_call, outputs concatenated (the global coherence sort is
     # untouched — chunking only slices the grid).
-    if s_count > SEG_LAUNCH_CHUNK and not stats:
+    if s_count > SEG_LAUNCH_CHUNK:
+        # Prefer equal chunks (one compiled kernel shape across launches);
+        # when ceil-division doesn't divide evenly, take fixed-size chunks
+        # with a ragged tail (two compiled shapes) — requiring an exact
+        # divisor would degenerate to one launch PER segment on prime-ish
+        # counts, exactly the big workloads the chunking exists for.
         n_chunks = -(-s_count // SEG_LAUNCH_CHUNK)
-        while s_count % n_chunks:
-            n_chunks += 1
-        cs = s_count // n_chunks
-        parts = []
-        for i in range(n_chunks):
-            sl = slice(i * cs, (i + 1) * cs)
-            rs = slice(i * cs * p, (i + 1) * cs * p)
-            parts.append(
-                launch(
-                    sl, o[rs], d[rs], cap[rs],
-                    None if anyhit_row is None else anyhit_row[rs],
-                )
+        if s_count % n_chunks == 0:
+            sizes = [s_count // n_chunks] * n_chunks
+        else:
+            sizes = [SEG_LAUNCH_CHUNK] * (s_count // SEG_LAUNCH_CHUNK)
+            if s_count % SEG_LAUNCH_CHUNK:
+                sizes.append(s_count % SEG_LAUNCH_CHUNK)
+        parts, stat_parts, start = [], [], 0
+        for size in sizes:
+            sl = slice(start, start + size)
+            rs = slice(start * p, (start + size) * p)
+            r = launch(
+                sl, o[rs], d[rs], cap[rs],
+                None if anyhit_row is None else anyhit_row[rs],
             )
-        return jnp.concatenate(parts, axis=1)
+            if stats:
+                r, st = r  # [S_chunk, 8] per-segment counters
+                stat_parts.append(st)
+            parts.append(r)
+            start += size
+        out = jnp.concatenate(parts, axis=1)
+        if stats:
+            return out, jnp.concatenate(stat_parts, axis=0)
+        return out
     return launch(slice(None), o, d, cap, anyhit_row)
 
 

@@ -284,6 +284,76 @@ def project_sh(state: ProbeState, settings: RenderSettings) -> ProbeState:
     return state._replace(sh_coeffs=coeffs)
 
 
+def _interpolate_probes_cells(
+    gbuf_depth, gbuf_normal, albedo, emissive, state, settings
+):
+    """Cell-structured fast path of interpolate_probes for exact-multiple
+    frames (H == Py·sp, W == Px·sp — every production resolution): all sp×sp
+    pixels of one cell share the same 4 neighbor probes, so the generic
+    path's per-pixel probe-table GATHERS (4× [H,W,3,9] SH-coefficient rows
+    + 4× anchor depth/normal rows ≈ 0.9 GB of row-gather traffic at 1080p,
+    the dominant interpolate cost on-chip) become edge-padded SLICES
+    broadcast over the cell — pure streaming VPU work. Same weights, clamp
+    and accumulation order as the generic path; the cos-lobe basis is
+    evaluated once per pixel instead of once per neighbor (identical
+    values). Edge padding replicates the last probe row/col — exactly the
+    generic path's index clip."""
+    h, w = gbuf_depth.shape
+    px, py = settings.probe_grid
+    sp = settings.probe_spacing
+
+    adep = jnp.pad(gbuf_depth[::sp, ::sp], ((0, 1), (0, 1)), mode="edge")
+    anrm = jnp.pad(
+        gbuf_normal[::sp, ::sp], ((0, 1), (0, 1), (0, 0)), mode="edge"
+    )
+    acoef = jnp.pad(
+        state.sh_coeffs, ((0, 1), (0, 1), (0, 0), (0, 0)), mode="edge"
+    )
+
+    dep_c = gbuf_depth.reshape(py, sp, px, sp)
+    nrm_c = gbuf_normal.reshape(py, sp, px, sp, 3)
+    basis = sh.sh3_transform_cos_lobe(nrm_c)  # [py, sp, px, sp, 9]
+
+    f = jnp.arange(sp, dtype=jnp.float32) / sp
+    fy = f[None, :, None, None]
+    fx = f[None, None, None, :]
+
+    contribs = []
+    weights = []
+    for oy in (0, 1):
+        for ox in (0, 1):
+            pdep = adep[oy : oy + py, ox : ox + px][:, None, :, None]
+            pnrm = anrm[oy : oy + py, ox : ox + px][:, None, :, None, :]
+            valid = pdep < mathx.BACKGROUND_DEPTH
+            w_bil = (fx if ox else (1.0 - fx)) * (fy if oy else (1.0 - fy))
+            wgt = jnp.clip(
+                1.0 - jnp.abs(pdep - dep_c) / jnp.maximum(dep_c, 1e-6),
+                0.0, 1.0,
+            )
+            wgt = wgt * jnp.maximum(jnp.sum(nrm_c * pnrm, -1), 0.0)
+            wgt = jnp.where(valid, (w_bil + 1e-3) * wgt**8, 0.0)
+
+            coeffs = acoef[oy : oy + py, ox : ox + px][:, None, :, None]
+            irr = jnp.sum(coeffs * basis[..., None, :], axis=-1)
+            contribs.append(jnp.maximum(irr, 0.0))
+            weights.append(jnp.broadcast_to(wgt, (py, sp, px, sp)))
+
+    wstack = jnp.stack(weights)  # [4, py, sp, px, sp]
+    wsum = jnp.sum(wstack, axis=0)
+    failed = wsum <= 1e-8
+    wnorm = wstack / jnp.maximum(wsum, 1e-8)
+    irr = sum(c * wn[..., None] for c, wn in zip(contribs, wnorm))
+
+    light = (
+        irr * albedo.reshape(py, sp, px, sp, 3) * mathx.INV_PI
+        + emissive.reshape(py, sp, px, sp, 3)
+    )
+    red = jnp.zeros_like(light).at[..., 0].set(1.0)
+    light = jnp.where(failed[..., None], red, light)
+    sky = dep_c >= mathx.BACKGROUND_DEPTH
+    return jnp.where(sky[..., None], 0.0, light).reshape(h, w, 3)
+
+
 def interpolate_probes(
     gbuf_depth: jax.Array,  # [H, W]
     gbuf_normal: jax.Array,  # [H, W, 3]
@@ -298,6 +368,10 @@ def interpolate_probes(
     h, w = gbuf_depth.shape
     px, py = settings.probe_grid
     sp = settings.probe_spacing
+    if h == py * sp and w == px * sp:
+        return _interpolate_probes_cells(
+            gbuf_depth, gbuf_normal, albedo, emissive, state, settings
+        )
 
     ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     p0x = jnp.clip(xs // sp, 0, px - 1)

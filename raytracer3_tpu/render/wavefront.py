@@ -283,12 +283,15 @@ def trace_wavefront(
             else:
                 # Lane diet around the shadow launch inside _nee_contribution
                 # (which also packs its own contrib): anchor the unpack on
-                # li so XLA cannot resurrect the f32 state mid-launch.
-                _, packed = _diet_pack(
+                # li so XLA cannot resurrect the f32 state mid-launch. The
+                # barrier-tied hit_pos feeds the launch (shadow origins), so
+                # the packs are ordered BEFORE the launch — discarding the
+                # tied value would let XLA schedule the packs after it.
+                hit_pos_t, packed = _diet_pack(
                     settings.lane_diet, hit_pos, radiance, q.throughput
                 )
                 li, sampler, n_shadow = pathtracer._nee_contribution(
-                    scene, occluded_fn, hit_pos, nrm, -q.direction, surface,
+                    scene, occluded_fn, hit_pos_t, nrm, -q.direction, surface,
                     u_l, sampler, settings, alive_mask=q.alive,
                     sort_shadow=sort_rays, sort_bounds=sort_bounds,
                     return_count=True, throughput=q.throughput,

@@ -249,6 +249,22 @@ def atrium_camera(aspect: float = 16.0 / 9.0):
     )
 
 
+def atrium_camera_ggx(aspect: float = 16.0 / 9.0):
+    """Specular-stress view for the GGX oracle (VERDICT r4 item 8): low to
+    the floor, looking down the prop row — the 5 polished-metal boxes
+    (metallic 1, roughness 0.25) fill the frame and the glossy floor is at
+    grazing incidence, so VNDF/Fresnel/texture-LOD regressions show up
+    where the default diffuse-dominated view hides them."""
+    from raytracer3_tpu.render.camera import Camera
+
+    return Camera.create(
+        position=(-9.5, 0.9, -3.5),
+        direction=(1.0, -0.02, 0.38),
+        fov_y_deg=55.0,
+        aspect=aspect,
+    )
+
+
 def sky_equirect(height: int = 256, width: int = 512, sun_dir=(0.35, 0.55, 0.2), turbidity: float = 2.5) -> np.ndarray:
     """Procedural clear-sky HDR (gradient + sun disc), equirect [H, W, 3].
 

@@ -214,3 +214,70 @@ def test_probe_second_bounce_adds_energy(setup):
     assert np.isfinite(a2).all()
     assert np.all(a2 >= a1 - 1e-6)
     assert float(a2.sum()) > float(a1.sum())  # bounce light actually lands
+
+
+def test_interpolate_cells_matches_generic():
+    """The cell-structured fast path (exact-multiple frames) must match the
+    generic gather path — same weights, clamps and blend — to float
+    tolerance. Exercised with a non-trivial SH field, mixed normals, a sky
+    probe (anchor at BACKGROUND) and an invalid-probe region."""
+    rng = np.random.default_rng(5)
+    h = w = 64
+    sp = SET.probe_spacing
+    px, py = SET.probe_grid
+    gd = jnp.asarray(rng.uniform(1.0, 10.0, (h, w)).astype(np.float32))
+    # A sky strip (anchors at BACKGROUND → invalid probes there).
+    gd = gd.at[:8, :].set(mathx.BACKGROUND_DEPTH)
+    n = rng.standard_normal((h, w, 3)).astype(np.float32)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+    gn = jnp.asarray(n)
+    alb = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+    em = jnp.asarray(rng.uniform(0, 0.2, (h, w, 3)).astype(np.float32))
+    state = probes.ProbeState.create(SET)
+    state = state._replace(
+        sh_coeffs=jnp.asarray(
+            rng.standard_normal((py, px, 3, 9)).astype(np.float32)
+        )
+    )
+    light_fast = np.asarray(
+        probes._interpolate_probes_cells(gd, gn, alb, em, state, SET)
+    )
+    # Inline generic reference (the pre-fast-path implementation, kept in
+    # interpolate_probes for non-multiple frames).
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    p0x = jnp.clip(xs // sp, 0, px - 1)
+    p0y = jnp.clip(ys // sp, 0, py - 1)
+    fx = (xs - p0x * sp).astype(jnp.float32) / sp
+    fy = (ys - p0y * sp).astype(jnp.float32) / sp
+    contribs, weights = [], []
+    for oy in (0, 1):
+        for ox in (0, 1):
+            pxc = jnp.clip(p0x + ox, 0, px - 1)
+            pyc = jnp.clip(p0y + oy, 0, py - 1)
+            a_x = pxc * sp
+            a_y = pyc * sp
+            probe_depth = gd[a_y, a_x]
+            probe_normal = gn[a_y, a_x]
+            valid = probe_depth < mathx.BACKGROUND_DEPTH
+            w_bil = (fx if ox else (1.0 - fx)) * (fy if oy else (1.0 - fy))
+            wgt = jnp.clip(
+                1.0 - jnp.abs(probe_depth - gd) / jnp.maximum(gd, 1e-6),
+                0.0, 1.0,
+            )
+            wgt = wgt * jnp.maximum(jnp.sum(gn * probe_normal, -1), 0.0)
+            wgt = jnp.where(valid, (w_bil + 1e-3) * wgt**8, 0.0)
+            coeffs = state.sh_coeffs[pyc, pxc]
+            irr = sh.sh3_unproject_cos_lobe(coeffs, gn)
+            contribs.append(jnp.maximum(irr, 0.0))
+            weights.append(wgt)
+    wstack = jnp.stack(weights)
+    wsum = jnp.sum(wstack, axis=0)
+    failed = wsum <= 1e-8
+    wnorm = wstack / jnp.maximum(wsum, 1e-8)
+    irr = sum(c * wn[..., None] for c, wn in zip(contribs, wnorm))
+    light = irr * alb * mathx.INV_PI + em
+    red = jnp.zeros_like(light).at[..., 0].set(1.0)
+    light = jnp.where(failed[..., None], red, light)
+    sky = gd >= mathx.BACKGROUND_DEPTH
+    ref = np.asarray(jnp.where(sky[..., None], 0.0, light))
+    np.testing.assert_allclose(light_fast, ref, atol=1e-5, rtol=1e-5)

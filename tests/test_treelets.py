@@ -613,3 +613,43 @@ def test_seg_launch_chunking_bit_equal(soup_tt, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(occ_ref.hit), np.asarray(occ_chunked.hit)
     )
+
+
+def test_seg_launch_chunking_ragged_tail(soup_tt, monkeypatch):
+    """Segment counts that don't divide into equal chunks take fixed-size
+    chunks with a ragged tail (5 segments at chunk 2 → sizes [2, 2, 1]) —
+    the old exact-divisor search degenerated to one launch per segment on
+    prime-ish counts. Must stay bit-equal to the single launch."""
+    (v0, v1, v2), tt = soup_tt
+    n = 8 * 128 * 5  # 5 segments at sublanes=8 (prime; 5 % ceil(5/2)=3 != 0)
+    o, d = _rays(n, seed=11)
+    ref = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=8, step_cull=True, half_leaf=True
+    )
+    monkeypatch.setattr(treelets, "SEG_LAUNCH_CHUNK", 2)
+    chunked = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=8, step_cull=True, half_leaf=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(chunked.t))
+    np.testing.assert_array_equal(
+        np.asarray(ref.prim_id), np.asarray(chunked.prim_id)
+    )
+
+
+def test_seg_launch_chunking_stats(soup_tt, monkeypatch):
+    """The stats path chunks too (per-segment [S, 8] counters concatenate
+    along the segment axis) — a stats probe at >SEG_LAUNCH_CHUNK segments
+    used to skip chunking and re-hit the SMEM compile failure."""
+    (v0, v1, v2), tt = soup_tt
+    n = 8 * 128 * 5
+    o, d = _rays(n, seed=12)
+    ref, st_ref = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=8, stats=True
+    )
+    monkeypatch.setattr(treelets, "SEG_LAUNCH_CHUNK", 2)
+    chunked, st_chunked = treelets.treelet_intersect(
+        tt, o, d, interpret=True, sublanes=8, stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(chunked.t))
+    assert np.asarray(st_ref).shape == np.asarray(st_chunked).shape
+    np.testing.assert_array_equal(np.asarray(st_ref), np.asarray(st_chunked))
