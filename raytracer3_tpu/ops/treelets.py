@@ -522,8 +522,15 @@ def treelet_intersect(
     bit_loop: bool = False,
     max_groups: int = 32,
     nearest_first: bool = False,
+    hit_only: bool = False,
 ) -> intersect.Hit:
     """Trace rays [N, 3] through the treelet segment grid (module docstring).
+
+    hit_only=True (any-hit occlusion callers that read ONLY Hit.hit): the
+    un-sort carries just the prim-id row through the variadic sort instead
+    of all four result rows — the un-sort's cost is linear in operand count
+    (~170 ms for key+4 rows at 16.7M lanes, tools/probe_driver.py), so
+    shadow launches shed ~3/5 of it. Hit.t degrades to 0/BG flags.
 
     nearest_first=True splits the sorted launch into two phases: phase 1
     traces each ray ONLY through its nearest candidate treelet (the sort
@@ -707,11 +714,28 @@ def treelet_intersect(
         if stats:
             out, stat_rows = out
 
-    # NOTE: do NOT slice the any-hit output to one row before the unsort —
-    # measured 3-6% SLOWER (occl sun 10.14→9.86, mix 6.09→5.73 Mray/s):
-    # the [4, N] gather amortizes its index work across rows (≈ the cost of
-    # a [1, N] gather), while the row-slice of the kernel output forces a
-    # sublane relayout copy at 2M rays.
+    # NOTE (gather-unsort era): do NOT slice the any-hit output to one row
+    # before a GATHER unsort — measured 3-6% SLOWER (occl sun 10.14→9.86,
+    # mix 6.09→5.73 Mray/s): the [4, N] gather amortizes its index work
+    # across rows. The VARIADIC unsort below prices per operand instead, so
+    # hit_only there carries one row legitimately.
+    if (
+        hit_only and order is not None and sort_chunk == 1
+        and not nearest_first and not stats
+    ):
+        # Any-hit caller reads only the occlusion bit: un-sort just the
+        # prim-id row (one [N] relayout copy ≪ three extra sort operands).
+        restored = jax.lax.sort(
+            (order, out[3]), dimension=0, num_keys=1
+        )
+        prim_id = restored[1][:n].astype(jnp.int32)
+        found = prim_id >= 0
+        return intersect.Hit(
+            t=jnp.where(found, 0.0, _BG),
+            uv=jnp.zeros((n, 2), jnp.float32),
+            prim_id=prim_id,
+            hit=found,
+        )
     if order is not None:
         if sort_chunk > 1:
             g = sort_chunk
@@ -1112,7 +1136,7 @@ def treelet_backend(
             interpret=interpret, sublanes=sl_sorted, sort_chunk=shadow_chunk,
             half_leaf=half_leaf, div_free=div_free, rank_push=rp_other,
             step_cull=step_cull, tables_hbm=tables_hbm, vmem_limit=vmem_limit,
-            bit_loop=bl_sorted, max_groups=mg_sorted,
+            bit_loop=bl_sorted, max_groups=mg_sorted, hit_only=True,
         ).hit
 
     def capped_fn(arrays, o, d, tmax, anyhit=None):

@@ -146,7 +146,11 @@ def probe_gi_pipeline(scene, settings: RenderSettings, intersect_fn=None, occlud
     def gbuf(r, cam, frame_index, bindings):
         isect, _ = _resolve_backend(backend, intersect_fn, occluded_fn, bindings)
         packed, _hit = probes.trace_packed_gbuffer(
-            bindings["scene"], isect, cam, settings
+            bindings["scene"], isect, cam, settings,
+            primary_fn=(
+                backend.bind_primary(bindings["bvh"])
+                if backend is not None else None
+            ),
         )
         return {"gbuf_data": packed.data, "gbuf_depth": packed.depth}
 
@@ -229,7 +233,11 @@ def hybrid_gi_pipeline(
     def gbuf(r, cam, frame_index, bindings):
         isect, _ = _resolve_backend(backend, intersect_fn, occluded_fn, bindings)
         packed, _hit = probes.trace_packed_gbuffer(
-            bindings["scene"], isect, cam, settings
+            bindings["scene"], isect, cam, settings,
+            primary_fn=(
+                backend.bind_primary(bindings["bvh"])
+                if backend is not None else None
+            ),
         )
         return {"gbuf_data": packed.data, "gbuf_depth": packed.depth}
 

@@ -142,11 +142,23 @@ def trace_probes(
     atlas carries BOUNCED light only (the hybrid probes+PT split; the
     reference's probe mode has no such split and folds everything in).
     blendfactor may be a traced scalar (camera-cut invalidation passes 1.0
-    on reset frames to drop stale history in one frame)."""
+    on reset frames to drop stale history in one frame).
+
+    settings.probe_texel_splits = k > 1 traces only the texels t with
+    t ≡ frame (mod k) this frame (utils/config.py knob): probe-trace +
+    probe-NEE cost drops ~k× while untraced texels hold their previous
+    atlas value (their temporal blend runs at 1/k rate)."""
     px, py = settings.probe_grid
     r = settings.probe_res
     sp = settings.probe_spacing
-    n = py * px * r * r
+    rr = r * r
+    k = max(1, int(settings.probe_texel_splits))
+    if rr % k:
+        raise ValueError(
+            f"probe_texel_splits {k} must divide probe_res^2 = {rr}"
+        )
+    rr_eff = rr // k
+    n = py * px * rr_eff
 
     # Probe anchors: pixel (x*sp, y*sp) — trace_probes.slang:24.
     ax = jnp.arange(px, dtype=jnp.int32) * sp
@@ -159,11 +171,23 @@ def trace_probes(
     probe_valid = anchor_depth < mathx.BACKGROUND_DEPTH
 
     # Per-texel jittered octahedral direction at base or fine mip.
-    atlas_ids = jnp.arange(n, dtype=jnp.uint32)
-    sampler = rng.Sampler.from_ids(atlas_ids, frame_index)
+    ids3 = jnp.arange(py * px * rr, dtype=jnp.uint32).reshape(py, px, rr)
+    di = dir_index.reshape(py, px, rr)
+    mp = mip.reshape(py, px, rr)
+    if k > 1:
+        # Round-robin texel subset: [.., rr] → [.., rr/k, k], slice class
+        # m = frame mod k (texel t = j·k + m). Sampler ids stay the FULL
+        # atlas ids so each texel's jitter sequence is split-invariant.
+        m_idx = (jnp.asarray(frame_index, jnp.uint32) % k).astype(jnp.int32)
+
+        def _sel(a):
+            return jax.lax.dynamic_slice_in_dim(
+                a.reshape(py, px, rr_eff, k), m_idx, 1, axis=3
+            ).squeeze(3)
+
+        di, mp, ids3 = _sel(di), _sel(mp), _sel(ids3)
+    sampler = rng.Sampler.from_ids(ids3.reshape(-1), frame_index)
     uj, sampler = sampler.next2()
-    di = dir_index.reshape(py, px, r * r)
-    mp = mip.reshape(py, px, r * r)
     size = jnp.where(mp == 1, 2 * r, r).astype(jnp.float32)  # [Py, Px, D]
     dx = (di % (2 * r)).astype(jnp.float32)
     dy = (di // (2 * r)).astype(jnp.float32)
@@ -171,12 +195,12 @@ def trace_probes(
     dx = jnp.where(mp == 1, dx, (di % r).astype(jnp.float32))
     dy = jnp.where(mp == 1, dy, (di // r).astype(jnp.float32))
     uvj = (
-        jnp.stack([dx, dy], axis=-1) + uj.reshape(py, px, r * r, 2)
+        jnp.stack([dx, dy], axis=-1) + uj.reshape(py, px, rr_eff, 2)
     ) / size[..., None]
     ray_dir = packing.octa_decode(uvj).reshape(n, 3)
 
     ray_org = jnp.broadcast_to(
-        anchor_pos[:, :, None, :], (py, px, r * r, 3)
+        anchor_pos[:, :, None, :], (py, px, rr_eff, 3)
     ).reshape(n, 3)
     # Anchor normals face-forwarded toward the camera so the self-offset
     # always pushes into open space regardless of mesh winding.
@@ -184,7 +208,7 @@ def trace_probes(
         gbuf_normal[ayy, axx], -view_dirs[ayy, axx]
     )
     nrm = jnp.broadcast_to(
-        anchor_nrm[:, :, None, :], (py, px, r * r, 3)
+        anchor_nrm[:, :, None, :], (py, px, rr_eff, 3)
     ).reshape(n, 3)
     ray_org = ray_org + nrm * 5e-4  # TMin analog (trace_probes.slang:55)
 
@@ -249,34 +273,70 @@ def trace_probes(
     tex_x = jnp.clip((dx / size * r), 0, r - 1).astype(jnp.int32)
     tex_y = jnp.clip((dy / size * r), 0, r - 1).astype(jnp.int32)
     pyy, pxx, _ = jnp.meshgrid(
-        jnp.arange(py), jnp.arange(px), jnp.arange(r * r), indexing="ij"
+        jnp.arange(py), jnp.arange(px), jnp.arange(rr_eff), indexing="ij"
     )
-    row = pyy * r + tex_y.reshape(py, px, r * r)
-    col = pxx * r + tex_x.reshape(py, px, r * r)
+    row = pyy * r + tex_y.reshape(py, px, rr_eff)
+    col = pxx * r + tex_x.reshape(py, px, rr_eff)
 
     new_atlas = jnp.zeros_like(prev.atlas)
     new_depth = jnp.zeros_like(prev.depth)
-    rad3 = radiance.reshape(py, px, r * r, 3)
-    dep = h.t.reshape(py, px, r * r)
+    rad3 = radiance.reshape(py, px, rr_eff, 3)
+    dep = h.t.reshape(py, px, rr_eff)
     new_atlas = new_atlas.at[row, col].set(rad3)
     new_depth = new_depth.at[row, col].set(dep)
 
     # Temporal blend (trace_probes.slang:74 lerp w/ blendfactor); invalid
     # probes (sky anchors) store zero radiance + BACKGROUND depth.
+    #
+    # Only texels actually WRITTEN this frame lerp toward their new value —
+    # the reference's compute pass touches exactly the texels it traces.
+    # Blending every texel toward the (zero-initialized) scratch atlas,
+    # as rounds 2-4 did, decayed the SIS-culled third of each probe's
+    # directions to ~0 radiance permanently — a measured piece of the
+    # probe-GI energy deficit (docs/QUALITY.md). Unwritten texels keep
+    # their previous value on normal frames; on a camera-cut reset frame
+    # (blendfactor >= 1) they zero instead, so stale history cannot
+    # persist at the permanently-culled slots of a static view.
+    written = (
+        jnp.zeros(prev.depth.shape, jnp.float32).at[row, col].set(1.0) > 0.0
+    )
+    keep = jnp.where(jnp.asarray(blendfactor, jnp.float32) >= 1.0, 0.0, 1.0)
     pv = jnp.repeat(jnp.repeat(probe_valid, r, axis=0), r, axis=1)
-    blended = prev.atlas + (new_atlas - prev.atlas) * blendfactor
+    blended = jnp.where(
+        written[..., None],
+        prev.atlas + (new_atlas - prev.atlas) * blendfactor,
+        prev.atlas * keep,
+    )
+    new_depth_eff = jnp.where(written, new_depth, prev.depth * keep)
     atlas = jnp.where(pv[..., None], blended, 0.0)
-    depth = jnp.where(pv, new_depth, mathx.BACKGROUND_DEPTH)
+    depth = jnp.where(pv, new_depth_eff, mathx.BACKGROUND_DEPTH)
     return ProbeState(atlas=atlas, depth=depth, sh_coeffs=prev.sh_coeffs)
 
 
 def project_sh(state: ProbeState, settings: RenderSettings) -> ProbeState:
     """Probe atlas → SH3 coefficients (spherical_harmonic_conversion.slang:
-    9-33): coeff = Σ_d Y(dir_d)·L_d × 4π/(R·R), one einsum per color."""
+    9-33): coeff = Σ_d Y(dir_d)·L_d × 4π/(R·R), one einsum per color.
+
+    Hole filling (settings.probe_sh_fill): SIS permanently culls ~1/3 of
+    each probe's directions — their texels are never written after a reset
+    and would enter the quadrature as ZERO radiance, deflating the DC term
+    by the culled directions' share of incident light (a measured piece of
+    the probe-GI energy deficit, docs/QUALITY.md). Texels with depth == 0
+    (never traced since reset; every traced texel stores hit-t or
+    BACKGROUND) are filled with their probe's mean written radiance — the
+    DC-consistent estimate — before projecting."""
     px, py = settings.probe_grid
     r = settings.probe_res
     atlas = state.atlas.reshape(py, r, px, r, 3).transpose(0, 2, 1, 3, 4)
     atlas = atlas.reshape(py, px, r * r, 3)
+    if settings.probe_sh_fill:
+        dep = state.depth.reshape(py, r, px, r).transpose(0, 2, 1, 3)
+        written = (dep.reshape(py, px, r * r) > 0.0)[..., None]
+        wsum = jnp.sum(written, axis=2, keepdims=True).astype(jnp.float32)
+        mean = jnp.sum(
+            jnp.where(written, atlas, 0.0), axis=2, keepdims=True
+        ) / jnp.maximum(wsum, 1.0)
+        atlas = jnp.where(written, atlas, mean)
     basis = sh.sh3_evaluate(octa_direction_grid(r).reshape(r * r, 3))  # [D, 9]
     coeffs = jnp.einsum("yxdc,dk->yxck", atlas, basis) * (
         4.0 * jnp.pi / (r * r)
@@ -434,13 +494,40 @@ def trace_packed_gbuffer(
     intersect_fn: pathtracer.IntersectFn,
     cam,
     settings: RenderSettings,
+    primary_fn: Optional[pathtracer.IntersectFn] = None,
 ):
     """Primary rays → PACKED G-buffer [H, W] (old/gbuffer.slang:8-20 writes
-    the uint4-packed form; the probe passes re-read it from HBM)."""
+    the uint4-packed form; the probe passes re-read it from HBM).
+
+    primary_fn: a sort-skipping primary trace (TraceBackend.primary_fn).
+    When given, primaries go out in tile-swizzled order (wavefront.py
+    tiled_pixel_order — consecutive rays form screen tiles, so fixed-size
+    traversal packets get tight frusta) and the G-buffer un-swizzles with
+    pure reshapes; the presorted path measured 37.6 vs 20.6 Mray/s over the
+    generic sorted trace at 2M rays (docs/ROADMAP.md)."""
     from raytracer3_tpu.render import camera as camera_mod
     from raytracer3_tpu.render import gbuffer as gbuffer_mod
+    from raytracer3_tpu.render import wavefront as wavefront_mod
 
     w, h = settings.width, settings.height
+    tile = wavefront_mod.pick_tile(w, h) if primary_fn is not None else None
+    if tile is not None:
+        tw_, th_ = tile
+        pix = wavefront_mod.tiled_pixel_order(w, h, tile_w=tw_, tile_h=th_)
+        o, d = camera_mod.primary_rays(cam, w, h, pixel_xy=pix)
+        gbuf = pathtracer.trace_gbuffer(scene, primary_fn, o, d)
+
+        def unswizzle(a):
+            rest = a.shape[1:]
+            return (
+                a.reshape((h // th_, w // tw_, th_, tw_) + rest)
+                .transpose((0, 2, 1, 3) + tuple(4 + i for i in range(len(rest))))
+                .reshape((h, w) + rest)
+            )
+
+        surface2 = jax.tree.map(unswizzle, gbuf.surface)
+        packed = gbuffer_mod.pack_surface(surface2, unswizzle(gbuf.depth))
+        return packed, unswizzle(gbuf.hit)
     pix = camera_mod.pixel_grid(w, h)
     o, d = camera_mod.primary_rays(cam, w, h, pixel_xy=pix)
     gbuf = pathtracer.trace_gbuffer(scene, intersect_fn, o, d)

@@ -29,6 +29,19 @@ class RenderSettings:
     # probe ray's hit (NEE-shaded), so probes carry 2-bounce GI — beyond the
     # reference's single-segment probe rays (trace_probes.slang:55-70).
     probe_bounces: int = 1
+    # Temporal probe-texel splitting: trace 1/k of each probe's octahedral
+    # texels per frame, round-robin by frame index (k must divide
+    # probe_res²). Untraced texels keep their previous atlas value, so the
+    # per-texel temporal blend runs at 1/k rate while the probe-trace +
+    # probe-NEE cost drops ~k×. On a camera cut (blendfactor 1.0) the
+    # untraced texels stay stale for k-1 frames — at real-time rates that
+    # is <0.5 s of partial ghosting, the price of the amortization.
+    probe_texel_splits: int = 1
+    # SH-projection hole filling: texels never written since reset (SIS
+    # permanently culls ~1/3 of directions) enter the quadrature at their
+    # probe's mean written radiance instead of zero (render/probes.py
+    # project_sh — the probe energy-deficit fix, docs/QUALITY.md).
+    probe_sh_fill: bool = True
     # interpolate_probes.slang cell_size knob
     cell_size: float = 0.01
     proberng: bool = False

@@ -100,7 +100,13 @@ class TestPipeline:
     def test_sh_projection_of_atlas(self):
         # Fill the atlas with a constant → SH reconstruction ≈ constant.
         state = probes.ProbeState.create(SET)
-        state = state._replace(atlas=jnp.ones_like(state.atlas) * 2.0)
+        # depth > 0 marks texels as written (probe_sh_fill treats depth 0 as
+        # never-traced and fills from the probe mean — all-zero depth would
+        # fill the whole synthetic atlas from an empty mean).
+        state = state._replace(
+            atlas=jnp.ones_like(state.atlas) * 2.0,
+            depth=jnp.ones_like(state.depth),
+        )
         state = probes.project_sh(state, SET)
         irr = sh.sh3_unproject(state.sh_coeffs[0, 0, 0], jnp.array([0.0, 0.0, 1.0]))
         # DC of constant 2: reconstruction ≈ 2 (octa grid is not perfectly
@@ -175,10 +181,12 @@ class TestHybrid:
             scene, SET, intersect_fn=isect, occluded_fn=occl
         )
         clean = init_state()
-        dirty = dict(clean)
-        dirty["probe_atlas"] = jnp.full_like(clean["probe_atlas"], 123.0)
+        # Fresh state per call: step donates its state pytree, so sharing
+        # buffers between the two calls would pass deleted arrays.
+        dirty = dict(init_state())
+        dirty["probe_atlas"] = jnp.full_like(dirty["probe_atlas"], 123.0)
         _, s_clean = step(clean, cam=cam, frame_index=0)
-        _, s_dirty = step(dict(dirty), cam=cam, frame_index=0)
+        _, s_dirty = step(dirty, cam=cam, frame_index=0)
         np.testing.assert_allclose(
             np.asarray(s_clean["probe_atlas"]),
             np.asarray(s_dirty["probe_atlas"]), atol=1e-5,
@@ -281,3 +289,95 @@ def test_interpolate_cells_matches_generic():
     sky = gd >= mathx.BACKGROUND_DEPTH
     ref = np.asarray(jnp.where(sky[..., None], 0.0, light))
     np.testing.assert_allclose(light_fast, ref, atol=1e-5, rtol=1e-5)
+
+
+class TestTexelSplits:
+    """probe_texel_splits (temporal probe-texel amortization)."""
+
+    def _trace(self, setup, settings, prev, fi, bf=1.0, identity_dirs=False):
+        scene, cam, isect, occl = setup
+        from raytracer3_tpu.render import camera as camera_mod
+
+        w, h = settings.width, settings.height
+        packed, _ = probes.trace_packed_gbuffer(scene, isect, cam, settings)
+        from raytracer3_tpu.render import gbuffer as gbuffer_mod
+
+        surface = gbuffer_mod.unpack_surface(packed)
+        pix = camera_mod.pixel_grid(w, h)
+        o, d = camera_mod.primary_rays(cam, w, h, pixel_xy=pix)
+        if identity_dirs:
+            # No SIS retargeting: texel t traces direction t and writes at
+            # atlas slot t — makes the texel↔atlas-location map exact
+            # (culled rays otherwise write at their TARGET's base texel,
+            # colliding across texel classes).
+            pxg, pyg = settings.probe_grid
+            rr = settings.probe_res**2
+            dir_index = jnp.broadcast_to(
+                jnp.arange(rr, dtype=jnp.int32), (pyg, pxg, rr)
+            )
+            mip = jnp.zeros((pyg, pxg, rr), jnp.int32)
+        else:
+            dir_index, mip = probes.structured_importance_sampling(
+                surface.normal, settings
+            )
+        return probes.trace_probes(
+            scene, isect, packed.depth, surface.normal,
+            o.reshape(h, w, 3), d.reshape(h, w, 3), dir_index, mip,
+            prev, settings, jnp.uint32(fi), bf, occl,
+        )
+
+    def test_split_frame_matches_full_on_its_texels(self, setup):
+        """k=2 at frame fi must write EXACTLY the full trace's values on the
+        texel class fi%2 (sampler ids are split-invariant) and keep prev on
+        the other class."""
+        prev = probes.ProbeState.create(SET)
+        prev = prev._replace(atlas=jnp.full_like(prev.atlas, 7.0))
+        full = self._trace(setup, SET, prev, fi=3, bf=0.5, identity_dirs=True)
+        s2 = dataclasses.replace(SET, probe_texel_splits=2)
+        half = self._trace(setup, s2, prev, fi=3, bf=0.5, identity_dirs=True)
+        a_full = np.asarray(full.atlas)
+        a_half = np.asarray(half.atlas)
+        # Texel class 3%2=1 within each probe's 8x8 block: t = y*8+x odd.
+        r = SET.probe_res
+        ty, tx = np.meshgrid(np.arange(r), np.arange(r), indexing="ij")
+        odd = ((ty * r + tx) % 2) == 1
+        cls = np.tile(odd, (a_full.shape[0] // r, a_full.shape[1] // r))
+        # Valid probes only (invalid are zeroed identically in both).
+        valid = np.asarray(full.depth) != np.float32(mathx.BACKGROUND_DEPTH)
+        same = np.asarray(half.depth) != np.float32(mathx.BACKGROUND_DEPTH)
+        m = cls & valid & same
+        np.testing.assert_array_equal(a_half[m], a_full[m])
+        # Untraced class keeps prev (7.0) on valid probes.
+        keep = (~cls) & valid & same
+        if keep.any():
+            np.testing.assert_array_equal(a_half[keep], 7.0)
+
+    def test_split_covers_all_texels_over_k_frames(self, setup):
+        """Over k consecutive frames every texel of a valid probe gets
+        (re)written — no texel starves (identity dirs: SIS-culled slots are
+        never written by design and keep history instead)."""
+        s2 = dataclasses.replace(SET, probe_texel_splits=2)
+        st = probes.ProbeState.create(s2)
+        st = st._replace(depth=jnp.full_like(st.depth, -1.0))  # sentinel
+        for fi in range(2):
+            st = self._trace(setup, s2, st, fi=fi, bf=0.5, identity_dirs=True)
+        # All texels of valid probes have a real traced depth (> 0) or the
+        # probe is invalid (BACKGROUND); the -1 sentinel must be gone.
+        d = np.asarray(st.depth)
+        assert not (d == -1.0).any()
+
+    def test_unwritten_texels_keep_history_and_reset_clears(self, setup):
+        """The written-mask blend: SIS-culled slots keep prev on normal
+        frames (the r2-r4 decay-to-zero energy leak is gone) and zero on a
+        reset frame (bf=1) so stale history cannot persist a camera cut."""
+        prev = probes.ProbeState.create(SET)
+        prev = prev._replace(atlas=jnp.full_like(prev.atlas, 7.0))
+        # Real SIS (1/3 of slots culled → unwritten).
+        out = self._trace(setup, SET, prev, fi=2, bf=0.25)
+        a = np.asarray(out.atlas)
+        valid = np.asarray(out.depth) != np.float32(mathx.BACKGROUND_DEPTH)
+        # Some valid-probe slots kept exactly 7.0 (culled, unwritten).
+        assert (a[valid] == 7.0).any()
+        # Reset frame: nothing keeps 7.0 anywhere.
+        out0 = self._trace(setup, SET, prev, fi=0, bf=1.0)
+        assert not (np.asarray(out0.atlas) == 7.0).any()

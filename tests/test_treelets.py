@@ -653,3 +653,25 @@ def test_seg_launch_chunking_stats(soup_tt, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(chunked.t))
     assert np.asarray(st_ref).shape == np.asarray(st_chunked).shape
     np.testing.assert_array_equal(np.asarray(st_ref), np.asarray(st_chunked))
+
+
+def test_hit_only_unsort_matches_full(soup_tt):
+    """hit_only=True (the occl_fn fast un-sort: one payload row through the
+    variadic sort) must produce the same occlusion bits as the full-row
+    path in the caller's original ray order."""
+    (v0, v1, v2), tt = soup_tt
+    n = 8 * 128 * 3 + 41  # not a segment multiple
+    o, d = _rays(n, seed=21)
+    rng = np.random.default_rng(22)
+    cap = jnp.asarray(rng.uniform(0.5, 40.0, (n,)).astype(np.float32))
+    full = treelets.treelet_intersect(
+        tt, o, d, t_max=cap, any_hit=True, interpret=True, sublanes=8
+    )
+    fast = treelets.treelet_intersect(
+        tt, o, d, t_max=cap, any_hit=True, interpret=True, sublanes=8,
+        hit_only=True,
+    )
+    np.testing.assert_array_equal(np.asarray(full.hit), np.asarray(fast.hit))
+    np.testing.assert_array_equal(
+        np.asarray(full.prim_id >= 0), np.asarray(fast.prim_id >= 0)
+    )

@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument("--detail", type=int, default=8)
     ap.add_argument("--what", default="full,gbuf,update,interp,pipe")
+    ap.add_argument("--splits", type=int, default=1)
     args = ap.parse_args()
     w, h = args.width, args.height
 
@@ -52,7 +53,10 @@ def main():
     scene, tris = bench.sponza_world_scene(detail=args.detail)
     cam = procedural.atrium_camera(aspect=w / h)
     backend = tk.packet_backend(host_tris=tris)
-    settings = RenderSettings(width=w, height=h, bounces=1, samples=1)
+    settings = RenderSettings(
+        width=w, height=h, bounces=1, samples=1,
+        probe_texel_splits=args.splits,
+    )
     what = set(args.what.split(","))
     print(f"{w}x{h} tris={tris[0].shape[0]}", flush=True)
 
