@@ -220,7 +220,7 @@ def run_config(tag, scene, host_tris, cam, width, height, bounces,
 
 
 def run_probe_config(tag, scene, host_tris, cam, width, height, n_frames=3,
-                     hybrid=False):
+                     hybrid=False, settings_kw=None):
     """Probe-GI pipeline cost on chip (the reference's flagship GI mode,
     shaders/old/trace_probes.slang): G-buffer → SIS → probe trace → SH →
     interpolate → AgX, one jitted step. hybrid=True benches the hybrid
@@ -232,7 +232,10 @@ def run_probe_config(tag, scene, host_tris, cam, width, height, n_frames=3,
     from raytracer3_tpu.utils.config import RenderSettings
 
     backend = tk.packet_backend(host_tris=host_tris)
-    settings = RenderSettings(width=width, height=height, bounces=1, samples=1)
+    settings = RenderSettings(
+        width=width, height=height, bounces=1, samples=1,
+        **(settings_kw or {}),
+    )
     factory = (
         pipelines.hybrid_gi_pipeline if hybrid else pipelines.probe_gi_pipeline
     )
@@ -469,20 +472,24 @@ def main() -> None:
     try:
         probe_runs += [
             # The literal 1080p north-star real-time mode (VERDICT r4 #2).
+            # probe_texel_splits=2 (1/2 the probe texels traced per frame,
+            # round-robin) is the production real-time config: 214 ms vs
+            # 308.6 at full rate (2026-08-20 on-chip), quality cost
+            # quantified in docs/QUALITY.md (probe_gi_split2 row).
             ("sponza1080_probe_gi", big_scene, big_tris, cam1080, 1920, 1088,
-             False),
+             False, {"probe_texel_splits": 2}),
             ("sponza720_probe_gi", big_scene, big_tris, cam720, 1280, 720,
-             False),
+             False, None),
             ("sponza720_hybrid_gi", big_scene, big_tris, cam720, 1280, 720,
-             True),
+             True, None),
         ]
     except NameError:
         pass  # sponza scene build failed earlier; small-scene probes only
     probe_runs += [
-        ("probe_gi", scene, tris, cam, 960, 544, False),
-        ("hybrid_gi", scene, tris, cam, 960, 544, True),
+        ("probe_gi", scene, tris, cam, 960, 544, False, None),
+        ("hybrid_gi", scene, tris, cam, 960, 544, True, None),
     ]
-    for tag, sc, tr, cm, w, h, hybrid in probe_runs:
+    for tag, sc, tr, cm, w, h, hybrid, skw in probe_runs:
         if _remaining() < 120.0:
             em.fail(tag, TimeoutError("skipped: bench budget spent"))
             continue
@@ -490,7 +497,7 @@ def main() -> None:
             em.add(
                 _with_deadline(
                     lambda: run_probe_config(
-                        tag, sc, tr, cm, w, h, hybrid=hybrid
+                        tag, sc, tr, cm, w, h, hybrid=hybrid, settings_kw=skw
                     ),
                     _remaining() - 60.0,
                     tag,

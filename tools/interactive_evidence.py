@@ -97,15 +97,15 @@ def main():
 
     t_start = time.perf_counter()
     for i in range(args.frames):
-        # Scripted path: 30 warmup frames static, 10 frames flying forward
-        # + panning, then stop and reconverge.
+        # Scripted path: 30 warmup frames static, 8 frames of gentle pan +
+        # short dolly (stays inside the colonnade), then stop + reconverge.
         if i == 30:
             phase = "moving"
-            viewer.controls.move_z = 1.0
-            viewer.controls.look_dx = 0.25
-        elif 30 < i < 40:
-            viewer.controls.look_dx = 0.25  # consumed every frame
-        elif i == 40:
+            viewer.controls.move_z = 0.3
+            viewer.controls.look_dx = 0.06
+        elif 30 < i < 38:
+            viewer.controls.look_dx = 0.06  # consumed every frame
+        elif i == 38:
             phase = "reconverge"
             viewer.controls.move_z = 0.0
             viewer.controls.look_dx = 0.0
@@ -122,22 +122,29 @@ def main():
                 fps=round(viewer.fps, 3),
             )
         )
-        if i in (29, 35, 41, 45, 60):
-            tag = {29: "pre_move", 35: "during_move", 41: "stop_plus1",
-                   45: "stop_plus5", 60: "stop_plus20"}[i]
+        if i in (29, 34, 39, 43, 58):
+            tag = {29: "pre_move", 34: "during_move", 39: "stop_plus1",
+                   43: "stop_plus5", 58: "stop_plus20"}[i]
             img = snap(tag)
             if tag == "stop_plus20":
                 settled_ref = img.astype(np.float64)
 
     viewer.drain()
+    # HONEST steady frame time: on this runtime block_until_ready can lie
+    # and Viewer.step is async-submitted, so the per-step wall times above
+    # measure DISPATCH latency, not frame time. Time a dedicated segment:
+    # 20 static frames chained through the state with ONE guarded scalar
+    # pull at the end.
+    t0 = time.perf_counter()
+    n_timed = 20
+    for _ in range(n_timed):
+        viewer.step(dt=1 / 30)
+    disp = viewer.drain()
+    runtime.pull_guarded(jnp.sum(disp), timeout=2400.0, what="timing pull")
+    frame_ms = (time.perf_counter() - t0) / n_timed * 1e3
     total = time.perf_counter() - t_start
-    # Move→converged latency: frames after the stop until the display stops
-    # changing (probe blend settled): re-walk the trace timing; measure via
-    # the blendfactor series (0.15 blend → ~1/0.15 frames to ~90%:
-    # 1-0.85^n >= 0.9 → n ≈ 14). Report measured wall time of 14 frames at
-    # the measured steady fps.
-    steady = [t["step_ms"] for t in trace if t["phase"] == "reconverge"]
-    frame_ms = float(np.median(steady)) if steady else float("nan")
+    # Move→converged latency: probe blend 0.15 settles to ~90% after ~14
+    # frames (1 - 0.85^14 ≈ 0.90) at the measured steady frame time.
     latency_s = 14 * frame_ms / 1e3
     summary = dict(
         width=w, height=h, tris=int(tris[0].shape[0]),

@@ -104,6 +104,13 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-720", action="store_true")
     ap.add_argument("--skip-oracle", action="store_true")
     ap.add_argument(
+        "--v2", action="store_true",
+        help="generate the round-5 v2 oracles instead: 384x216 (4x the v1 "
+        "pixel count, so view-dependent GGX/texture-LOD errors stop "
+        "vanishing into 4x4 blocks) + the GGX-stress camera view "
+        "(procedural.atrium_camera_ggx - metal props + grazing floor)",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU platform + LBVH backend (oracle only; the 720p "
         "showcase stays TPU-tier)",
@@ -122,6 +129,33 @@ def main(argv=None) -> int:
     from raytracer3_tpu.utils import runtime
 
     runtime.init_compilation_cache()
+
+    if args.v2:
+        from raytracer3_tpu.scene import procedural as proc
+
+        scene, tris = proc.atrium_scene(detail=2, return_host=True)
+        for tag, cam_fn in (
+            ("", proc.atrium_camera),
+            ("ggx_", proc.atrium_camera_ggx),
+        ):
+            w2, h2 = 384, 216
+            print(f"oracle v2: atrium(detail=2) {tag or 'default '}"
+                  f"{w2}x{h2} reference mode", file=sys.stderr)
+            img = render_reference(
+                scene, tris, cam_fn(aspect=w2 / h2), w2, h2, bounces=4,
+                spp=args.spp, cpu=args.cpu,
+            )
+            np.savez_compressed(
+                os.path.join(RES_DIR, f"oracle_atrium_{tag}384x216.npz"),
+                radiance=img.astype(np.float32),
+                spp=np.int32(args.spp),
+                bounces=np.int32(4),
+                detail=np.int32(2),
+                camera=tag or "default",
+            )
+            print(f"wrote resources/oracle_atrium_{tag}384x216.npz",
+                  file=sys.stderr)
+        return 0
 
     if not args.skip_oracle:
         print("oracle: atrium(detail=2) 192x108 reference mode", file=sys.stderr)

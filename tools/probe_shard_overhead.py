@@ -44,8 +44,8 @@ def main():
         width=w, height=h, bounces=args.bounces, samples=1,
         radiance_clamp=50.0,
     )
-    isect = lambda arrays, o, d: backend.isect_fn(arrays, o, d)
-    occl = lambda arrays, o, d, t: backend.occl_fn(arrays, o, d, t)
+    isect = backend.intersect_fn
+    occl = backend.occluded_fn
     mesh = mesh_mod.make_render_mesh(jax.devices()[:1])
 
     @jax.jit

@@ -72,10 +72,17 @@ def main():
         ("probe_gi_b2", pipelines.probe_gi_pipeline, {"probe_bounces": 2}),
         ("probe_gi_split2", pipelines.probe_gi_pipeline,
          {"probe_texel_splits": 2}),
+        # Equal-WALL-TIME comparison for the amortized mode: at the 1080p
+        # production cost ratio (214 vs 308.6 ms/frame) split2 runs ~1.44x
+        # the frames in the same time budget -> 12 frames vs the 8 above.
+        ("probe_gi_split2_ewt", pipelines.probe_gi_pipeline,
+         {"probe_texel_splits": 2, "_frames": 12}),
         ("hybrid_gi", pipelines.hybrid_gi_pipeline, {}),
         ("hybrid_gi_b2", pipelines.hybrid_gi_pipeline, {"probe_bounces": 2}),
     ]
     for name, factory, skw in modes:
+        skw = dict(skw)
+        n_frames = skw.pop("_frames", args.frames)
         settings = RenderSettings(
             width=w, height=h, bounces=1, samples=1,
             probe_spacing=12, probe_res=8, **skw,
@@ -83,7 +90,7 @@ def main():
         step, init_state = factory(scene, settings, backend=backend)
         state = init_state()
         disp = None
-        for i in range(args.frames):
+        for i in range(n_frames):
             disp, state = step(state, cam=cam, frame_index=jnp.uint32(i))
         a = block_means(np.asarray(disp))
         diff = np.abs(a - b_ref)
