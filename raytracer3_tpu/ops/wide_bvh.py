@@ -11,6 +11,15 @@ encode (start, count) into the sorted triangle order — no extra indirection.
 This (plus quantization, later) follows the wide-BVH/ray-stream literature
 referenced in PAPERS.md; the collapse runs host-side at scene build, like the
 reference's one-time acceleration-structure build (raytracing.rs:88-148).
+
+STATUS (round 5): the 8-wide tables built here feed the production cluster
+builder (ops/cluster_bvh) — that path is live. The XLA-level traversal in
+THIS module (`wide_intersect`) is the INTERPRET-MODE REFERENCE
+IMPLEMENTATION: superseded on-chip by the Pallas packet/treelet kernels
+(ops/pallas/traverse_kernel.py), it remains the readable, pure-jnp oracle
+the kernel tests compare against and the CPU fallback for environments
+without Mosaic. It is intentionally kept; do not route production traces
+through it.
 """
 
 from __future__ import annotations

@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--detail", type=int, default=8)
     ap.add_argument("--what", default="full,gbuf,update,interp,pipe")
     ap.add_argument("--splits", type=int, default=1)
+    ap.add_argument("--probe-bounces", type=int, default=1)
     args = ap.parse_args()
     w, h = args.width, args.height
 
@@ -56,6 +57,7 @@ def main():
     settings = RenderSettings(
         width=w, height=h, bounces=1, samples=1,
         probe_texel_splits=args.splits,
+        probe_bounces=args.probe_bounces,
     )
     what = set(args.what.split(","))
     print(f"{w}x{h} tris={tris[0].shape[0]}", flush=True)
