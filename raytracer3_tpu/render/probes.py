@@ -244,6 +244,18 @@ def trace_probes(
         d2w = mathx.to_world(onb, s2.wi)
         o2 = hit_pos + s_nrm * 5e-4
         alive2 = h.hit & s2.valid
+        w2 = 1.0
+        k2 = max(1, int(settings.probe_bounce2_splits))
+        if k2 > 1:
+            # Stochastic second-bounce amortization: each texel traces its
+            # second bounce with probability 1/k2 this frame, weighted k2×
+            # — an unbiased RR-style estimator whose extra variance the
+            # temporal blend absorbs. Unselected lanes park (cost ≈ 0 in
+            # the sorted traversal), so the second-bounce launch pays ~1/k2
+            # of its full kernel time.
+            u_sel, sampler = sampler.next1()
+            alive2 = alive2 & (u_sel < (1.0 / k2))
+            w2 = float(k2)
         o2 = jnp.where(alive2[:, None], o2, 1e30)  # park dead probe paths
         h2 = intersect_fn(o2, d2w)
         surface2 = scene_types.hit_surface_info(scene, h2.prim_id, h2.uv, h2.inst)
@@ -260,7 +272,7 @@ def trace_probes(
         env2 = pathtracer._sample_env(scene, d2w)
         b_rad = jnp.where(h2.hit[:, None], b_rad, env2)
         radiance = radiance + jnp.where(
-            alive2[:, None], s2.value_over_pdf * b_rad, 0.0
+            alive2[:, None], w2 * s2.value_over_pdf * b_rad, 0.0
         )
     if include_direct:
         env = pathtracer._sample_env(scene, ray_dir)

@@ -29,6 +29,12 @@ class RenderSettings:
     # probe ray's hit (NEE-shaded), so probes carry 2-bounce GI — beyond the
     # reference's single-segment probe rays (trace_probes.slang:55-70).
     probe_bounces: int = 1
+    # Stochastic second-bounce amortization (only with probe_bounces >= 2):
+    # each probe texel traces its second bounce with probability 1/k per
+    # frame, weighted k× — unbiased (RR-style), the temporal blend absorbs
+    # the variance; the second-bounce launch pays ~1/k of its kernel time
+    # (render/probes.py trace_probes).
+    probe_bounce2_splits: int = 1
     # Temporal probe-texel splitting: trace 1/k of each probe's octahedral
     # texels per frame, round-robin by frame index (k must divide
     # probe_res²). Untraced texels keep their previous atlas value, so the

@@ -381,3 +381,45 @@ class TestTexelSplits:
         # Reset frame: nothing keeps 7.0 anywhere.
         out0 = self._trace(setup, SET, prev, fi=0, bf=1.0)
         assert not (np.asarray(out0.atlas) == 7.0).any()
+
+
+def test_bounce2_splits_unbiased(setup):
+    """probe_bounce2_splits=k traces the second bounce for ~1/k of texels
+    with k× weight — an unbiased estimator: averaged over frames, the
+    second-bounce energy must match the every-frame version."""
+    scene, cam, isect, occl = setup
+    from raytracer3_tpu.render import camera as camera_mod
+    from raytracer3_tpu.render import gbuffer as gbuffer_mod
+
+    packed, _ = probes.trace_packed_gbuffer(scene, isect, cam, SET)
+    surface = gbuffer_mod.unpack_surface(packed)
+    pix = camera_mod.pixel_grid(64, 64)
+    o, d = camera_mod.primary_rays(cam, 64, 64, pixel_xy=pix)
+    o2, d2 = o.reshape(64, 64, 3), d.reshape(64, 64, 3)
+    di, mip = probes.structured_importance_sampling(surface.normal, SET)
+
+    def mean_atlas(settings, frames=10):
+        zero = probes.ProbeState.create(settings)
+        acc = 0.0
+        fn = jax.jit(
+            lambda fi: probes.trace_probes(
+                scene, isect, packed.depth, surface.normal, o2, d2, di, mip,
+                zero, settings, fi, 1.0, occl,
+            ).atlas
+        )
+        for fi in range(frames):
+            acc = acc + np.asarray(fn(jnp.uint32(fi)), np.float64)
+        return acc / frames
+
+    s1 = dataclasses.replace(SET, probe_bounces=1)
+    s2 = dataclasses.replace(SET, probe_bounces=2)
+    s2k = dataclasses.replace(SET, probe_bounces=2, probe_bounce2_splits=4)
+    m1 = mean_atlas(s1).mean()
+    m2 = mean_atlas(s2).mean()
+    m2k = mean_atlas(s2k).mean()
+    full = m2 - m1  # the second-bounce energy
+    amort = m2k - m1
+    assert full > 0.0
+    # 10 frames × 16k texels at 1/4 selection → the mean is tight enough
+    # for a 30% band around the unbiased target.
+    assert abs(amort - full) < 0.3 * full, (m1, m2, m2k)

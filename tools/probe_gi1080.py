@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--what", default="full,gbuf,update,interp,pipe")
     ap.add_argument("--splits", type=int, default=1)
     ap.add_argument("--probe-bounces", type=int, default=1)
+    ap.add_argument("--bounce2-splits", type=int, default=1)
     args = ap.parse_args()
     w, h = args.width, args.height
 
@@ -58,6 +59,7 @@ def main():
         width=w, height=h, bounces=1, samples=1,
         probe_texel_splits=args.splits,
         probe_bounces=args.probe_bounces,
+        probe_bounce2_splits=args.bounce2_splits,
     )
     what = set(args.what.split(","))
     print(f"{w}x{h} tris={tris[0].shape[0]}", flush=True)

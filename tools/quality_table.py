@@ -77,6 +77,13 @@ def main():
         # the frames in the same time budget -> 12 frames vs the 8 above.
         ("probe_gi_split2_ewt", pipelines.probe_gi_pipeline,
          {"probe_texel_splits": 2, "_frames": 12}),
+        # Stochastic 2nd-bounce amortization (probe_bounce2_splits): each
+        # texel traces bounce 2 with prob 1/4, weighted 4x — unbiased.
+        ("probe_gi_b2k4", pipelines.probe_gi_pipeline,
+         {"probe_bounces": 2, "probe_bounce2_splits": 4}),
+        ("probe_gi_b2k4_split2", pipelines.probe_gi_pipeline,
+         {"probe_bounces": 2, "probe_bounce2_splits": 4,
+          "probe_texel_splits": 2, "_frames": 16}),
         ("hybrid_gi", pipelines.hybrid_gi_pipeline, {}),
         ("hybrid_gi_b2", pipelines.hybrid_gi_pipeline, {"probe_bounces": 2}),
     ]
