@@ -28,6 +28,33 @@ def tonemap_blocks(radiance, block=4):
     return block_means(disp, block)
 
 
+def ssim(a, b, c1=0.01**2, c2=0.03**2, win=7):
+    """Mean SSIM over a luminance image pair in [0,1] (uniform window —
+    the standard Wang et al. formula with a box filter; no scipy in the
+    image)."""
+    def lum(x):
+        return 0.2126 * x[..., 0] + 0.7152 * x[..., 1] + 0.0722 * x[..., 2]
+
+    x, y = lum(a).astype(np.float64), lum(b).astype(np.float64)
+
+    def boxf(img):
+        # Uniform win x win filter via cumsum (valid region).
+        c = np.cumsum(np.cumsum(img, axis=0), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        return (
+            c[win:, win:] - c[:-win, win:] - c[win:, :-win] + c[:-win, :-win]
+        ) / (win * win)
+
+    mx, my = boxf(x), boxf(y)
+    mxx, myy, mxy = boxf(x * x), boxf(y * y), boxf(x * y)
+    vx = np.maximum(mxx - mx * mx, 0)
+    vy = np.maximum(myy - my * my, 0)
+    cxy = mxy - mx * my
+    num = (2 * mx * my + c1) * (2 * cxy + c2)
+    den = (mx * mx + my * my + c1) * (vx + vy + c2)
+    return float(np.mean(num / den))
+
+
 def block_means(disp, block=4):
     h, w = disp.shape[0] // block, disp.shape[1] // block
     return disp[: h * block, : w * block].reshape(
@@ -53,6 +80,11 @@ def main():
     cam = procedural.atrium_camera(aspect=w / h)
     backend = isect_mod.brute_backend(scene=scene)
     b_ref = tonemap_blocks(oracle)
+    from raytracer3_tpu.ops import tonemap as tonemap_mod
+
+    ref_disp = np.asarray(
+        tonemap_mod.agx_tonemap(jnp.asarray(oracle), look="punchy")
+    )
 
     # On-chip costs from the committed bench record (720p rows — the
     # resolutions quality is judged at here are oracle-sized; ms is reported
@@ -99,7 +131,8 @@ def main():
         disp = None
         for i in range(n_frames):
             disp, state = step(state, cam=cam, frame_index=jnp.uint32(i))
-        a = block_means(np.asarray(disp))
+        d_full = np.asarray(disp)
+        a = block_means(d_full)
         diff = np.abs(a - b_ref)
         rows.append(
             dict(
@@ -107,6 +140,7 @@ def main():
                 mean_block_diff=round(float(diff.mean()), 4),
                 p99_block_diff=round(float(np.percentile(diff, 99)), 4),
                 brightness_ratio=round(float(a.mean() / b_ref.mean()), 3),
+                ssim=round(ssim(d_full, ref_disp), 4),
             )
         )
         print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
